@@ -1,0 +1,210 @@
+"""Radiance volumes — the tabular Q-state of the expected-SARSA tracer.
+
+The reference stores one RadianceVolume object per sampled scene point with
+a 12x12 Q-grid, a CDF, visit counts and an incrementally-maintained
+irradiance accumulator, updated with CUDA atomics
+(ref: GPU_Rendering_Engine/Source/radiance_volumes/radiance_volume.cu).
+
+The TPU-native re-design is one SoA pytree of (V, S) arrays:
+
+* TD updates are deterministic batched `segment_sum` reductions.  The
+  reference applies per-ray sequential updates Q <- (1-a)Q + a*target with
+  a = 1/(1+visits) under racy atomicExch (last-writer-wins).  For k
+  contributions in one batch the exact sequential composition of that
+  running-mean recurrence is
+
+      Q' = (Q*(1+visits) + sum(targets)) / (1 + visits + k)
+
+  which is what `expected_sarsa_update` applies — equivalent to the
+  reference's math with a deterministic order, minus its data race (SURVEY
+  §5.2; the thesis itself flags the race as "approximate").
+* The irradiance accumulator is not stored; it is recomputed exactly from
+  the Q grid on demand (`irradiance_estimates`), removing the reference's
+  stale/racy incremental accumulator (radiance_volume.cu:94-112) at the
+  cost of one fused (V, S) reduction.
+* cos(theta) per sector is a constant (S,) table (see ops/hemisphere.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlrpt_tpu.config import RHO, RadianceVolumeConfig
+from rlrpt_tpu.ops import hemisphere as hs
+from rlrpt_tpu.ops.linalg import make_frame
+from rlrpt_tpu.scene.geometry import sample_points_on_triangles
+from rlrpt_tpu.scene.scene import Scene, surface_areas
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RadianceVolumes:
+    position: jnp.ndarray      # (V, 3)
+    normal: jnp.ndarray        # (V, 3)
+    frame: jnp.ndarray         # (V, 3, 3) hemisphere local->world rotations
+    surface_lum: jnp.ndarray   # (V,) luminance of the host surface material
+    q: jnp.ndarray             # (V, S) radiance grid (the Q table)
+    visits: jnp.ndarray        # (V, S) int32
+    cdf: jnp.ndarray           # (V, S) cumulative sampling distribution
+    grid_resolution: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_volumes(self) -> int:
+        return self.position.shape[0]
+
+    @property
+    def n_sectors(self) -> int:
+        return self.grid_resolution * self.grid_resolution
+
+
+def volume_counts(scene: Scene, cfg: RadianceVolumeConfig) -> np.ndarray:
+    """Volumes per surface triangle = floor(area / AREA_PER_SAMPLE)
+    (ref: radiance_map.cu:60-67)."""
+    return np.floor(surface_areas(scene) / cfg.area_per_sample).astype(np.int64)
+
+
+def build_radiance_volumes(scene: Scene, cfg: RadianceVolumeConfig,
+                           seed: int = 1984) -> RadianceVolumes:
+    """Uniformly sample volumes over the scene's surfaces
+    (ref: radiance_map.cu:72-84) and initialise the Q state
+    (ref: radiance_volume.cu:49-89).
+
+    The initial CDF is the proper uniform CDF ((i+1)/S).  The reference
+    initialises a ramp i/S whose last entry is 143/144 (radiance_volume.cu:
+    73-78), so its binary search fails for r > 143/144 and returns a zero
+    direction on the first frame — a bug we do not reproduce.
+    """
+    rng = np.random.default_rng(seed)
+    counts = volume_counts(scene, cfg)
+    ns = scene.n_surfaces
+    v0 = np.asarray(scene.v0[:ns], np.float64)
+    v1 = np.asarray(scene.v1[:ns], np.float64)
+    v2 = np.asarray(scene.v2[:ns], np.float64)
+    pos, tri_idx = sample_points_on_triangles(rng, v0, v1, v2, counts)
+
+    normals = np.asarray(scene.normal[:ns], np.float32)[tri_idx]
+    lum = np.asarray(scene.luminance[:ns], np.float32)[tri_idx]
+
+    v = len(pos)
+    s = cfg.n_sectors
+    q0 = np.full((v, s), cfg.initial_radiance, np.float32)
+    cdf0 = np.tile((np.arange(1, s + 1, dtype=np.float32) / s), (v, 1))
+
+    frame = make_frame(jnp.asarray(normals))
+    return RadianceVolumes(
+        position=jnp.asarray(pos, jnp.float32),
+        normal=jnp.asarray(normals),
+        frame=frame,
+        surface_lum=jnp.asarray(lum),
+        q=jnp.asarray(q0),
+        visits=jnp.zeros((v, s), jnp.int32),
+        cdf=jnp.asarray(cdf0),
+        grid_resolution=cfg.grid_resolution,
+    )
+
+
+def irradiance_estimates(vols: RadianceVolumes) -> jnp.ndarray:
+    """Per-volume irradiance estimate (V,).
+
+    ref: radiance_volume.cu:49-69 accumulates sum_s cos_s*(lum/pi)*Q_s and
+    :305-307 scales by 2*pi/S; we compute it exactly from the live Q grid.
+    """
+    cos = hs.sector_cos_thetas(vols.grid_resolution)  # (S,)
+    s = vols.n_sectors
+    acc = jnp.sum(vols.q * cos[None, :], axis=-1) * (vols.surface_lum / math.pi)
+    return acc * (2.0 * math.pi / s)
+
+
+def rebuild_cdf(vols: RadianceVolumes,
+                distribution_threshold: float = 0.0) -> RadianceVolumes:
+    """Per-frame CDF rebuild from Q*cos weights
+    (ref: radiance_volume.cu:149-188 update_radiance_distribution, launched
+    once per frame by reinforcement_path_tracing.cu:6-13).
+
+    The reference's per-volume sequential cumsum becomes one vectorised
+    (V, S) cumsum.
+    """
+    cos = hs.sector_cos_thetas(vols.grid_resolution)
+    w = vols.q * cos[None, :]
+    w = jnp.maximum(w, distribution_threshold)
+    total = 1e-10 + jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(w / total, axis=-1)
+    return dataclasses.replace(vols, cdf=cdf)
+
+
+def sample_from_cdf(key, vols: RadianceVolumes, vol_idx: jnp.ndarray,
+                    grid_rho: float):
+    """Inverse-CDF sector sampling + in-sector jitter for rays parked at
+    volumes `vol_idx` (N,).
+
+    Returns (direction (N,3), sector (N,), pdf (N,)).
+    ref: radiance_volume.cu:192-244 — sector = first index with
+    cdf[i] > r (binary search there, a vectorised comparison count here);
+    pdf = RHO * (p_sector / GRID_RHO).
+    """
+    s = vols.n_sectors
+    rows = vols.cdf[vol_idx]                      # (N, S)
+    k1, k2 = jax.random.split(key)
+    r = jax.random.uniform(k1, (vol_idx.shape[0], 1), dtype=jnp.float32)
+    sector = jnp.sum(rows < r, axis=-1).astype(jnp.int32)
+    sector = jnp.minimum(sector, s - 1)
+    hi = jnp.take_along_axis(rows, sector[:, None], axis=-1)[:, 0]
+    lo = jnp.where(sector > 0,
+                   jnp.take_along_axis(rows, jnp.maximum(sector - 1, 0)[:, None],
+                                       axis=-1)[:, 0],
+                   0.0)
+    pdf = RHO * ((hi - lo) / grid_rho)
+    frames = vols.frame[vol_idx]
+    d = hs.sample_sector_direction(k2, sector, frames, vols.grid_resolution)
+    return d, sector, pdf
+
+
+def sample_max_from_cdf(key, vols: RadianceVolumes, vol_idx: jnp.ndarray,
+                        grid_rho: float):
+    """Greedy max-Q sector variant (ref: radiance_volume.cu:248-278)."""
+    s = vols.n_sectors
+    qrows = vols.q[vol_idx]
+    sector = jnp.argmax(qrows, axis=-1).astype(jnp.int32)
+    rows = vols.cdf[vol_idx]
+    hi = jnp.take_along_axis(rows, sector[:, None], axis=-1)[:, 0]
+    lo = jnp.where(sector > 0,
+                   jnp.take_along_axis(rows, jnp.maximum(sector - 1, 0)[:, None],
+                                       axis=-1)[:, 0],
+                   hi)  # ref uses cdf[0]-cdf[0]=... max_idx==0 -> prev=same
+    pdf = RHO * ((hi - lo) / grid_rho)
+    frames = vols.frame[vol_idx]
+    d = hs.sample_sector_direction(key, sector, frames, vols.grid_resolution)
+    return d, sector, pdf
+
+
+def expected_sarsa_update(vols: RadianceVolumes, vol_idx: jnp.ndarray,
+                          sector: jnp.ndarray, target: jnp.ndarray,
+                          mask: jnp.ndarray,
+                          radiance_threshold: float) -> RadianceVolumes:
+    """Batched expected-SARSA TD update (ref: radiance_volume.cu:283-301).
+
+    vol_idx, sector, target, mask: (N,) per-ray contributions; masked-out
+    entries are dropped.  See module docstring for the exact batched
+    composition of the reference's running-mean recurrence.
+    """
+    v, s = vols.q.shape
+    flat = vol_idx * s + sector
+    flat = jnp.where(mask, flat, v * s)  # park masked entries on a dump slot
+    w = mask.astype(jnp.float32)
+    sum_t = jax.ops.segment_sum(target * w, flat, num_segments=v * s + 1)[:-1]
+    cnt = jax.ops.segment_sum(w, flat, num_segments=v * s + 1)[:-1]
+    sum_t = sum_t.reshape(v, s)
+    cnt = cnt.reshape(v, s)
+
+    visits = vols.visits.astype(jnp.float32)
+    q_new = (vols.q * (1.0 + visits) + sum_t) / (1.0 + visits + cnt)
+    q_new = jnp.maximum(q_new, radiance_threshold)
+    q_new = jnp.where(cnt > 0, q_new, vols.q)
+    visits_new = vols.visits + cnt.astype(jnp.int32)
+    return dataclasses.replace(vols, q=q_new, visits=visits_new)

@@ -1,0 +1,143 @@
+"""SoA scene container.
+
+Equivalent of the reference `Scene{Surface*, AreaLight*, float* vertices}`
+(GPU_Rendering_Engine/Source/scenes/scene.cuh:27-47) re-designed as a JAX
+pytree of dense arrays: surfaces and area lights live in ONE triangle array
+(surfaces first, then lights) so the closest-hit sweep is a single masked
+argmin; the reference's "test surfaces, then lights, keep strictly closer"
+scan (ray.cu:17-36) has identical tie-breaking because argmin returns the
+first minimum and surfaces precede lights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlrpt_tpu.scene.geometry import luminance, triangle_areas, triangle_normals
+
+# Intersection types (ref: ray.cuh:30-45 enum NOTHING/AREA_LIGHT/SURFACE).
+NOTHING = 0
+AREA_LIGHT = 1
+SURFACE = 2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """All triangles of a scene, surfaces `[0, n_surfaces)` then lights."""
+
+    v0: jnp.ndarray        # (T, 3)
+    v1: jnp.ndarray        # (T, 3)
+    v2: jnp.ndarray        # (T, 3)
+    normal: jnp.ndarray    # (T, 3)  normalize(cross(e2, e1))
+    diffuse_c: jnp.ndarray  # (T, 3) material reflectance; zeros for lights
+    emission: jnp.ndarray   # (T, 3) light diffuse_p; zeros for surfaces
+    luminance: jnp.ndarray  # (T,)   0.5*(max+min) of diffuse_c / diffuse_p
+    n_surfaces: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_triangles(self) -> int:
+        return self.v0.shape[0]
+
+    @property
+    def n_lights(self) -> int:
+        return self.n_triangles - self.n_surfaces
+
+    @property
+    def is_light(self) -> jnp.ndarray:
+        return jnp.arange(self.n_triangles) >= self.n_surfaces
+
+    # --- views matching the reference's split containers -----------------
+    def surface_slice(self, arr):
+        return arr[: self.n_surfaces]
+
+    def light_slice(self, arr):
+        return arr[self.n_surfaces:]
+
+    @property
+    def vertices_flat(self) -> jnp.ndarray:
+        """Flat (T*9,) vertex list in the reference's order (v0 v1 v2 per
+        triangle, surfaces then lights) — the DQN input encoding and the
+        vertices.txt contract (ref: scene.cu:63-88)."""
+        return jnp.concatenate(
+            [self.v0, self.v1, self.v2], axis=-1).reshape(-1)
+
+    @property
+    def vertices_count(self) -> int:
+        """Number of floats in the flat vertex list (the reference's
+        scene.vertices_count, used as the DQN input dim)."""
+        return self.n_triangles * 9
+
+
+def build_scene(
+    surf_v0: np.ndarray, surf_v1: np.ndarray, surf_v2: np.ndarray,
+    surf_rgb: np.ndarray,
+    light_v0: np.ndarray, light_v1: np.ndarray, light_v2: np.ndarray,
+    light_power: np.ndarray,
+    dtype=jnp.float32,
+) -> Scene:
+    """Assemble a Scene from host numpy surface + light triangle soup."""
+    surf_v0 = np.asarray(surf_v0, np.float32).reshape(-1, 3)
+    surf_v1 = np.asarray(surf_v1, np.float32).reshape(-1, 3)
+    surf_v2 = np.asarray(surf_v2, np.float32).reshape(-1, 3)
+    light_v0 = np.asarray(light_v0, np.float32).reshape(-1, 3)
+    light_v1 = np.asarray(light_v1, np.float32).reshape(-1, 3)
+    light_v2 = np.asarray(light_v2, np.float32).reshape(-1, 3)
+    surf_rgb = np.asarray(surf_rgb, np.float32).reshape(-1, 3)
+    light_power = np.asarray(light_power, np.float32).reshape(-1, 3)
+
+    ns, nl = len(surf_v0), len(light_v0)
+    v0 = np.concatenate([surf_v0, light_v0], axis=0)
+    v1 = np.concatenate([surf_v1, light_v1], axis=0)
+    v2 = np.concatenate([surf_v2, light_v2], axis=0)
+    normal = triangle_normals(v0, v1, v2)
+    diffuse_c = np.concatenate([surf_rgb, np.zeros((nl, 3), np.float32)], axis=0)
+    emission = np.concatenate([np.zeros((ns, 3), np.float32), light_power], axis=0)
+    lum = np.concatenate([luminance(surf_rgb), luminance(light_power)], axis=0)
+
+    as_j = lambda a: jnp.asarray(a, dtype)
+    return Scene(v0=as_j(v0), v1=as_j(v1), v2=as_j(v2), normal=as_j(normal),
+                 diffuse_c=as_j(diffuse_c), emission=as_j(emission),
+                 luminance=as_j(lum), n_surfaces=ns)
+
+
+def surface_areas(scene: Scene) -> np.ndarray:
+    """Areas of the surface triangles only (host numpy)."""
+    v0 = np.asarray(scene.v0[: scene.n_surfaces])
+    v1 = np.asarray(scene.v1[: scene.n_surfaces])
+    v2 = np.asarray(scene.v2[: scene.n_surfaces])
+    return triangle_areas(v0, v1, v2)
+
+
+def save_vertices_to_file(scene: Scene, path: str) -> None:
+    """Write the renderer<->offline-trainer vertex contract
+    (ref: scene.cu:63-88 save_vertices_to_file -> vertices.txt)."""
+    v0 = np.asarray(scene.v0)
+    v1 = np.asarray(scene.v1)
+    v2 = np.asarray(scene.v2)
+    with open(path, "w") as f:
+        for i in range(scene.n_triangles):
+            row = np.concatenate([v0[i], v1[i], v2[i]])
+            f.write(" ".join(_fmt(x) for x in row) + "\n")
+
+
+def load_vertices_from_file(path: str) -> np.ndarray:
+    """Read vertices.txt -> flat float32 array (ref: NN_Q_Value_Trainer/
+    Source/main.cu:39-70 load_vertices)."""
+    vals: list[float] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                vals.extend(float(t) for t in line.split())
+    return np.asarray(vals, np.float32)
+
+
+def _fmt(x: float) -> str:
+    # Match C++ default ostream float formatting (6 significant digits).
+    return f"{float(x):.6g}"
