@@ -39,3 +39,30 @@ def dq_apply(params: DQNetworkParams, x: jnp.ndarray) -> jnp.ndarray:
     for layer in params.layers:
         h = fc_apply(layer, h, activation=RELU)
     return h
+
+
+def dq_apply_relative(params: DQNetworkParams, verts_flat: jnp.ndarray,
+                      positions: jnp.ndarray) -> jnp.ndarray:
+    """Q-values for the relative-vertex encoding WITHOUT materialising it.
+
+    The reference feeds the network `verts_flat - tile(p)` per ray, storing a
+    (rays, 3*T) buffer on device (~700 MB at 720^2, ref:
+    neural_q_pathtracer.cu:92-96 + nn_rendering_helpers.cu:281-298).  But the
+    first layer is affine in that encoding, so
+
+        W @ (verts - tile(p)) + b  ==  (W @ verts + b) - W3 @ p,
+
+    where W3[:, k] = sum_t W[:, 3t+k] — the O(rays * 3*T) input never needs
+    to exist.  Parameter shapes (and checkpoints) stay identical to the
+    reference's 3*T-input layer; autodiff through this factored form yields
+    exactly the same gradients as the materialised encoding.
+
+    verts_flat: (3*T,); positions: (R, 3) -> (R, n_actions).
+    """
+    first = params.layers[0]
+    base = first.w @ verts_flat + first.b                       # (out,)
+    w3 = first.w.reshape(first.w.shape[0], -1, 3).sum(axis=1)   # (out, 3)
+    h = jax.nn.relu(base[None, :] - positions @ w3.T)
+    for layer in params.layers[1:]:
+        h = fc_apply(layer, h, activation=RELU)
+    return h
