@@ -1,0 +1,66 @@
+"""Benchmark: rays/sec/chip, Cornell default path trace @ 1 spp.
+
+The BASELINE.json north-star metric.  Renders the hard-coded Cornell box at
+the reference's default 720x720 (image_settings.h:9-10) with the full
+80-bounce cap (monte_carlo_settings.h:8), 1 spp, on whatever backend is
+live (the real TPU chip under the driver).  "Rays" counts traced path
+segments (one closest-hit sweep per segment), measured from the per-pixel
+path lengths the renderer reports.
+
+vs_baseline: the thesis publishes no throughput number for the reference
+GPU engine; BASELINE.json's `published` is empty.  We normalise against an
+order-of-magnitude estimate of the reference default tracer on its GTX
+1070Ti — 1.0e8 rays/s (brute-force 114-triangle sweep, divergent 80-deep
+bounce loops, global-memory bound; the thesis only reports relative
+overheads, 4_critical_evaluation.tex:272) — so vs_baseline > 1 means faster
+than the estimated reference throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import numpy as np
+
+from rlrpt_tpu.camera import Camera
+from rlrpt_tpu.config import RenderConfig
+from rlrpt_tpu.integrators.default_tracer import render_default
+from rlrpt_tpu.scene import cornell_box
+
+REFERENCE_RAYS_PER_SEC_ESTIMATE = 1.0e8
+
+
+def main():
+    cfg = RenderConfig(width=720, height=720, samples_per_pixel=1,
+                       max_ray_bounces=80, ray_tile=16384)
+    scene = cornell_box()
+    cam = Camera.create([0.0, 0.0, -3.0])
+    key = jax.random.PRNGKey(1984)
+
+    # Warm-up / compile.
+    img, aux = render_default(key, scene, cam, cfg)
+    jax.block_until_ready(img)
+
+    reps = 5
+    rays_total = 0.0
+    t0 = time.perf_counter()
+    for i in range(reps):
+        img, aux = render_default(jax.random.fold_in(key, i), scene, cam, cfg)
+        jax.block_until_ready(img)
+        rays_total += float(aux["avg_path_length"]) * cfg.n_pixels \
+            * cfg.samples_per_pixel
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = rays_total / dt
+    print(json.dumps({
+        "metric": "rays/sec/chip (cornell 720x720, 1 spp, 80-bounce cap)",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_ESTIMATE, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

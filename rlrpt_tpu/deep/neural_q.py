@@ -89,6 +89,10 @@ class NeuralQState(NamedTuple):
 def init_rays(key, camera: Camera, cfg: RenderConfig) -> NeuralQState:
     """initialise_ray (ref: neural_q_pathtracer.cu:603-643)."""
     o, d = primary_rays(key, camera, cfg.width, cfg.height, cfg.focal)
+    return init_rays_from(o, d, cfg)
+
+
+def init_rays_from(o, d, cfg: RenderConfig) -> NeuralQState:
     n = o.shape[0]
     return NeuralQState(
         loc=o, prev_loc=o, normal=jnp.zeros_like(o), direction=d,
@@ -205,10 +209,16 @@ def compute_td_targets(params, scene: Scene, state: NeuralQState,
 
 
 def train_on_batches(params, opt_state, optimizer, scene: Scene,
-                     prev_loc, actions, tds, dl: DeepLearningConfig):
+                     prev_loc, actions, tds, dl: DeepLearningConfig,
+                     axis_name=None):
     """Sequential per-minibatch Adam updates within one bounce
     (ref: neural_q_pathtracer.cu:421-513: one graph + trainer.update() per
-    4096-ray batch).  Returns (params, opt_state, summed loss)."""
+    4096-ray batch).  Returns (params, opt_state, summed loss).
+
+    Under shard_map (`axis_name` set) each device holds 1/D of every global
+    minibatch; gradients are psum'd over the ray axis before the (identical,
+    replicated) Adam update — the effective update equals the reference's
+    full-minibatch update."""
     r = prev_loc.shape[0]
     b = min(dl.batch_size, r)
     pad = (-r) % b
@@ -232,6 +242,9 @@ def train_on_batches(params, opt_state, optimizer, scene: Scene,
             return jnp.sum(c_mask * (c_td - qa) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(p)
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+            loss = jax.lax.psum(loss, axis_name)
         updates, o = optimizer.update(grads, o, p)
         p = optax.apply_updates(p, updates)
         return (p, o), loss
@@ -273,12 +286,17 @@ class _BounceCarry(NamedTuple):
 
 def _trace_sample(key, scene, camera, params, opt_state, optimizer, epsilon,
                   cfg: RenderConfig, rl: RadianceVolumeConfig,
-                  dl: DeepLearningConfig):
+                  dl: DeepLearningConfig, axis_name=None, rays=None):
     """One spp sample: bounce loop with online training.
 
-    Returns (final ray state, params, opt_state, summed loss)."""
+    Returns (final ray state, params, opt_state, summed loss).
+    `rays`: optional pre-generated (origins, dirs) overriding the camera
+    (used by the sharded path, which feeds each device its ray shard)."""
     k_init, k_loop = jax.random.split(key)
-    state0 = init_rays(k_init, camera, cfg)
+    if rays is None:
+        state0 = init_rays(k_init, camera, cfg)
+    else:
+        state0 = init_rays_from(rays[0], rays[1], cfg)
 
     def cond(c: _BounceCarry):
         return c.go & (c.bounce < cfg.max_ray_bounces)
@@ -301,6 +319,9 @@ def _trace_sample(key, scene, camera, params, opt_state, optimizer, epsilon,
 
         # -- 2. trace.
         state, any_active_surface = trace_step(state, scene, c.bounce, cfg, dl)
+        if axis_name is not None:
+            any_active_surface = jax.lax.psum(
+                any_active_surface.astype(jnp.int32), axis_name) > 0
 
         # -- 3. TD train (not at bounce 0).
         def train_branch(args):
@@ -308,7 +329,8 @@ def _trace_sample(key, scene, camera, params, opt_state, optimizer, epsilon,
             td = compute_td_targets(params, scene, state, rl.grid_resolution,
                                     dl)
             return train_on_batches(params, opt_state, optimizer, scene,
-                                    state.prev_loc, state.action, td, dl)
+                                    state.prev_loc, state.action, td, dl,
+                                    axis_name=axis_name)
 
         params, opt_state, loss = jax.lax.cond(
             c.bounce > 0, train_branch,

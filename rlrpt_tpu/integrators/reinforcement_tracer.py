@@ -33,6 +33,7 @@ from rlrpt_tpu.radiance.nn_search import find_closest_volume
 from rlrpt_tpu.radiance.volumes import (RadianceVolumes, expected_sarsa_update,
                                         irradiance_estimates, rebuild_cdf,
                                         sample_from_cdf)
+import jax.lax as lax
 from rlrpt_tpu.scene.scene import AREA_LIGHT, NOTHING, SURFACE, Scene
 
 
@@ -52,14 +53,26 @@ class _SarsaState(NamedTuple):
 
 
 def trace_sample_sarsa(key, o, d, scene: Scene, vols: RadianceVolumes,
-                       cfg: RenderConfig, rl: RadianceVolumeConfig):
+                       cfg: RenderConfig, rl: RadianceVolumeConfig,
+                       axis_name=None):
     """One sample per pixel with online SARSA learning.
 
-    Returns (radiance (R,3), path_len (R,), updated volumes)."""
+    Returns (radiance (R,3), path_len (R,), updated volumes).
+
+    Under shard_map (`axis_name` set) the per-bounce Q-table contributions
+    are psum'd across the ray axis and the early-exit flag is made uniform
+    so every device runs the same trip count (collectives inside a
+    while_loop require congruent loops)."""
     n = o.shape[0]
 
+    def any_active(a):
+        flag = jnp.any(a)
+        if axis_name is not None:
+            flag = lax.psum(flag.astype(jnp.int32), axis_name) > 0
+        return flag
+
     def cond(s: _SarsaState):
-        return (s.bounce < cfg.max_ray_bounces) & jnp.any(s.active)
+        return (s.bounce < cfg.max_ray_bounces) & any_active(s.active)
 
     def body(s: _SarsaState):
         hit = closest_hit(s.o, s.d, scene, ray_tile=cfg.ray_tile)
@@ -86,7 +99,7 @@ def trace_sample_sarsa(key, o, d, scene: Scene, vols: RadianceVolumes,
                       s.cur_brdf * irr[next_vol]))
         vols_new = expected_sarsa_update(
             s.vols, s.cur_vol, jnp.maximum(s.cur_sector, 0), target, pending,
-            rl.radiance_threshold)
+            rl.radiance_threshold, axis_name=axis_name)
 
         # ---- 2. terminal contributions ----------------------------------
         contrib = (jnp.where(is_nothing[:, None],

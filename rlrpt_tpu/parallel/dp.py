@@ -1,0 +1,182 @@
+"""Data-parallel sharded renderers & training steps.
+
+Mapping chosen per SURVEY §2.7:
+
+* rays/pixels shard over the mesh's `rays` axis (`P('rays')`);
+* scene arrays, DQN params/optimiser state and the tabular Q-table
+  replicate (`P()`);
+* per-bounce Q-table scatter contributions and per-minibatch DQN gradients
+  are `psum` over ICI inside shard_map — every device then applies the same
+  update, keeping replicated state bit-identical without any parameter
+  resharding;
+* early-exit flags are psum'd so all devices run congruent while_loops
+  (a collective inside a while_loop requires identical trip counts).
+
+Multi-host: the same functions work after `jax.distributed.initialize()` —
+the mesh simply spans all processes' devices and the psums ride
+ICI-within-slice / DCN-between-slices as laid out by XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from rlrpt_tpu.camera import Camera, primary_rays
+from rlrpt_tpu.config import DeepLearningConfig, RadianceVolumeConfig, RenderConfig
+from rlrpt_tpu.deep import neural_q as nq
+from rlrpt_tpu.integrators.default_tracer import trace_sample
+from rlrpt_tpu.integrators.reinforcement_tracer import trace_sample_sarsa
+from rlrpt_tpu.parallel.mesh import RAY_AXIS, make_mesh, pad_to_multiple
+from rlrpt_tpu.radiance.volumes import RadianceVolumes, rebuild_cdf
+from rlrpt_tpu.scene.scene import Scene
+
+
+def _padded_rays(key, camera, cfg: RenderConfig, n_dev: int):
+    """Primary rays for the full frame, padded to a devices multiple.
+
+    Pad rays point along +z from the camera; their results are dropped."""
+    o, d = primary_rays(key, camera, cfg.width, cfg.height, cfg.focal)
+    r = o.shape[0]
+    pad = pad_to_multiple(r, n_dev) - r
+    if pad:
+        o = jnp.concatenate([o, jnp.broadcast_to(o[-1], (pad, 3))])
+        d = jnp.concatenate([d, jnp.broadcast_to(d[-1], (pad, 3))])
+    return o, d, r
+
+
+def render_default_dp(key, scene: Scene, camera: Camera, cfg: RenderConfig,
+                      mesh=None):
+    """Sharded default path trace; returns (image (H,W,3), aux).
+
+    The bounce loop has no cross-device state, so each device traces its ray
+    shard fully independently — zero collectives until image assembly.
+    """
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+
+    @partial(jax.jit, static_argnames=())
+    def frame(key):
+        def shard_fn(key, o, d):
+            # Per-device decorrelated keys.
+            key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+            rad, plen = trace_sample(key, o, d, scene, cfg)
+            return rad, plen
+
+        traced = shard_map(shard_fn, mesh=mesh,
+                           in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS)),
+                           out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
+                           check_vma=False)
+
+        def sample_body(i, carry):
+            acc, path_acc = carry
+            kcam = jax.random.fold_in(jax.random.fold_in(key, i), 1)
+            ktrace = jax.random.fold_in(jax.random.fold_in(key, i), 2)
+            o, d, r = _padded_rays(kcam, camera, cfg, n_dev)
+            rad, plen = traced(ktrace, o, d)
+            return acc + rad[:r], path_acc + plen[:r]
+
+        n = cfg.n_pixels
+        acc, path_acc = jax.lax.fori_loop(
+            0, cfg.samples_per_pixel, sample_body,
+            (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n,), jnp.int32)))
+        img = (acc / cfg.samples_per_pixel).reshape(cfg.height, cfg.width, 3)
+        avg = jnp.mean(path_acc.astype(jnp.float32)) / cfg.samples_per_pixel
+        return img, {"avg_path_length": avg}
+
+    return frame(key)
+
+
+def render_frame_sarsa_dp(key, scene: Scene, camera: Camera,
+                          vols: RadianceVolumes, cfg: RenderConfig,
+                          rl: RadianceVolumeConfig, mesh=None):
+    """Sharded SARSA learning frame; returns (image, volumes, aux).
+
+    The Q-table stays replicated; each bounce's TD contributions are psum'd
+    (see radiance.volumes.expected_sarsa_update) so all devices apply one
+    identical deterministic update.
+    """
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+
+    @jax.jit
+    def frame(key, vols):
+        def shard_fn(key, o, d, vols_r):
+            key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+            rad, plen, vols_out = trace_sample_sarsa(
+                key, o, d, scene, vols_r, cfg, rl, axis_name=RAY_AXIS)
+            return rad, plen, vols_out
+
+        traced = shard_map(shard_fn, mesh=mesh,
+                           in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+                           out_specs=(P(RAY_AXIS), P(RAY_AXIS), P()),
+                           check_vma=False)
+
+        def sample_body(i, carry):
+            acc, path_acc, zclp, vols_c = carry
+            kcam = jax.random.fold_in(jax.random.fold_in(key, i), 1)
+            ktrace = jax.random.fold_in(jax.random.fold_in(key, i), 2)
+            o, d, r = _padded_rays(kcam, camera, cfg, n_dev)
+            rad, plen, vols_c = traced(ktrace, o, d, vols_c)
+            rad, plen = rad[:r], plen[:r]
+            zero = jnp.mean(rad, axis=-1) < cfg.throughput_threshold
+            return (acc + rad, path_acc + plen, zclp + jnp.sum(zero), vols_c)
+
+        n = cfg.n_pixels
+        acc, path_acc, zclp, vols = jax.lax.fori_loop(
+            0, cfg.samples_per_pixel, sample_body,
+            (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n,), jnp.int32),
+             jnp.int32(0), vols))
+        vols = rebuild_cdf(vols, rl.distribution_threshold)
+        img = (acc / cfg.samples_per_pixel).reshape(cfg.height, cfg.width, 3)
+        aux = {"avg_path_length": jnp.mean(path_acc.astype(jnp.float32))
+               / cfg.samples_per_pixel,
+               "zero_contribution_light_paths": zclp}
+        return img, vols, aux
+
+    return frame(key, vols)
+
+
+def neural_q_train_step_dp(key, scene: Scene, camera: Camera, params,
+                           opt_state, epsilon, cfg: RenderConfig,
+                           rl: RadianceVolumeConfig, dl: DeepLearningConfig,
+                           mesh=None):
+    """One sharded neural-Q training sample (the full training step:
+    forward, epsilon-greedy wavefront trace, TD targets, psum'd gradients,
+    sequential minibatch Adam — the dryrun_multichip target).
+
+    Returns (throughput (R,3), params, opt_state, loss).
+    """
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    optimizer = nq.default_optimizer(dl)
+    # Each device sees 1/D of every global minibatch; shrinking the local
+    # batch keeps the reference's global 4096-ray minibatch semantics after
+    # the gradient psum.
+    dl = dataclasses.replace(dl, batch_size=max(1, dl.batch_size // n_dev))
+
+    @jax.jit
+    def step(key, params, opt_state):
+        def shard_fn(key, o, d, params, opt_state):
+            key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+            state, params, opt_state, loss = nq._trace_sample(
+                key, scene, camera, params, opt_state, optimizer, epsilon,
+                cfg, rl, dl, axis_name=RAY_AXIS, rays=(o, d))
+            return state.throughput, params, opt_state, loss
+
+        traced = shard_map(shard_fn, mesh=mesh,
+                           in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(), P()),
+                           out_specs=(P(RAY_AXIS), P(), P(), P()),
+                           check_vma=False)
+
+        kcam, ktrace = jax.random.split(key)
+        o, d, r = _padded_rays(kcam, camera, cfg, n_dev)
+        tp, params, opt_state, loss = traced(ktrace, o, d, params, opt_state)
+        return tp[:r], params, opt_state, loss
+
+    return step(key, params, opt_state)

@@ -183,28 +183,50 @@ def sample_max_from_cdf(key, vols: RadianceVolumes, vol_idx: jnp.ndarray,
     return d, sector, pdf
 
 
-def expected_sarsa_update(vols: RadianceVolumes, vol_idx: jnp.ndarray,
-                          sector: jnp.ndarray, target: jnp.ndarray,
-                          mask: jnp.ndarray,
-                          radiance_threshold: float) -> RadianceVolumes:
-    """Batched expected-SARSA TD update (ref: radiance_volume.cu:283-301).
-
-    vol_idx, sector, target, mask: (N,) per-ray contributions; masked-out
-    entries are dropped.  See module docstring for the exact batched
-    composition of the reference's running-mean recurrence.
-    """
-    v, s = vols.q.shape
+def sarsa_contributions(vol_idx: jnp.ndarray, sector: jnp.ndarray,
+                        target: jnp.ndarray, mask: jnp.ndarray,
+                        n_volumes: int, n_sectors: int):
+    """Deterministic scatter of per-ray TD contributions onto the (V, S)
+    grid.  Returns (sum_targets (V,S), counts (V,S)).  Exposed separately so
+    the sharded path can psum partial contributions across devices before
+    applying one identical update (SURVEY §2.7 row "atomics")."""
+    v, s = n_volumes, n_sectors
     flat = vol_idx * s + sector
     flat = jnp.where(mask, flat, v * s)  # park masked entries on a dump slot
     w = mask.astype(jnp.float32)
     sum_t = jax.ops.segment_sum(target * w, flat, num_segments=v * s + 1)[:-1]
     cnt = jax.ops.segment_sum(w, flat, num_segments=v * s + 1)[:-1]
-    sum_t = sum_t.reshape(v, s)
-    cnt = cnt.reshape(v, s)
+    return sum_t.reshape(v, s), cnt.reshape(v, s)
 
+
+def apply_sarsa_contributions(vols: RadianceVolumes, sum_t: jnp.ndarray,
+                              cnt: jnp.ndarray,
+                              radiance_threshold: float) -> RadianceVolumes:
+    """Apply batched contributions with the exact sequential composition of
+    the reference's running-mean recurrence (see module docstring)."""
     visits = vols.visits.astype(jnp.float32)
     q_new = (vols.q * (1.0 + visits) + sum_t) / (1.0 + visits + cnt)
     q_new = jnp.maximum(q_new, radiance_threshold)
     q_new = jnp.where(cnt > 0, q_new, vols.q)
     visits_new = vols.visits + cnt.astype(jnp.int32)
     return dataclasses.replace(vols, q=q_new, visits=visits_new)
+
+
+def expected_sarsa_update(vols: RadianceVolumes, vol_idx: jnp.ndarray,
+                          sector: jnp.ndarray, target: jnp.ndarray,
+                          mask: jnp.ndarray,
+                          radiance_threshold: float,
+                          axis_name: str | None = None) -> RadianceVolumes:
+    """Batched expected-SARSA TD update (ref: radiance_volume.cu:283-301).
+
+    vol_idx, sector, target, mask: (N,) per-ray contributions; masked-out
+    entries are dropped.  Under shard_map (`axis_name` set) the partial
+    contributions are psum'd over the ray axis so every device applies the
+    same update to its replicated Q-table.
+    """
+    sum_t, cnt = sarsa_contributions(vol_idx, sector, target, mask,
+                                     vols.n_volumes, vols.n_sectors)
+    if axis_name is not None:
+        sum_t = jax.lax.psum(sum_t, axis_name)
+        cnt = jax.lax.psum(cnt, axis_name)
+    return apply_sarsa_contributions(vols, sum_t, cnt, radiance_threshold)

@@ -1,0 +1,76 @@
+"""Sharded-path tests on the 8-device virtual CPU mesh.
+
+Checks both that the data-parallel paths compile+run over a real Mesh and
+that they agree with the single-device implementations (exactly where the
+math is identical, statistically where RNG streams differ).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlrpt_tpu.camera import Camera
+from rlrpt_tpu.config import (DeepLearningConfig, RadianceVolumeConfig,
+                              RenderConfig)
+from rlrpt_tpu.deep.neural_q import init_neural_q
+from rlrpt_tpu.integrators.default_tracer import render_default
+from rlrpt_tpu.parallel import (make_mesh, neural_q_train_step_dp,
+                                render_default_dp, render_frame_sarsa_dp)
+from rlrpt_tpu.radiance.volumes import build_radiance_volumes
+from rlrpt_tpu.scene import cornell_box
+
+_CFG = RenderConfig(width=24, height=24, samples_per_pixel=2,
+                    max_ray_bounces=4, ray_tile=1024)
+_RL = RadianceVolumeConfig(area_per_sample=0.05, grid_resolution=6)
+_DL = DeepLearningConfig(batch_size=512, hidden_sizes=(16, 16))
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_default_dp_matches_statistics():
+    scene = cornell_box()
+    cam = Camera.create([0.0, 0.0, -3.0])
+    cfg = RenderConfig(width=24, height=24, samples_per_pixel=16,
+                       max_ray_bounces=4, ray_tile=1024)
+    img_dp, aux = render_default_dp(jax.random.PRNGKey(0), scene, cam, cfg)
+    img_1, _ = render_default(jax.random.PRNGKey(0), scene, cam, cfg)
+    img_dp, img_1 = np.asarray(img_dp), np.asarray(img_1)
+    assert img_dp.shape == img_1.shape == (24, 24, 3)
+    assert np.isfinite(img_dp).all()
+    # Different RNG streams -> only statistical agreement of the mean level
+    # (a 24x24 frame at 16 spp still carries real MC noise).
+    assert abs(img_dp.mean() - img_1.mean()) < 0.35 * max(img_1.mean(), 1e-3)
+    assert float(aux["avg_path_length"]) > 0.0
+
+
+def test_sarsa_dp_learns_and_q_replicated():
+    scene = cornell_box()
+    cam = Camera.create([0.0, 0.0, -3.0])
+    vols = build_radiance_volumes(scene, _RL)
+    img, vols2, aux = render_frame_sarsa_dp(
+        jax.random.PRNGKey(0), scene, cam, vols, _CFG, _RL)
+    assert np.isfinite(np.asarray(img)).all()
+    # learning happened
+    assert int(np.asarray(vols2.visits).sum()) > 0
+    assert not np.allclose(np.asarray(vols2.q), np.asarray(vols.q))
+    # the replicated Q-table must be globally addressable & identical
+    q = jax.device_get(vols2.q)
+    assert np.isfinite(q).all()
+
+
+def test_neural_q_train_step_dp_runs():
+    scene = cornell_box()
+    cam = Camera.create([0.0, 0.0, -3.0])
+    params, opt_state = init_neural_q(jax.random.PRNGKey(0), scene, _DL,
+                                      _RL.grid_resolution)
+    tp, params2, opt2, loss = neural_q_train_step_dp(
+        jax.random.PRNGKey(1), scene, cam, params, opt_state, 0.3,
+        _CFG, _RL, _DL)
+    assert np.asarray(tp).shape == (_CFG.n_pixels, 3)
+    assert np.isfinite(np.asarray(tp)).all()
+    assert float(loss) > 0.0
+    assert not np.allclose(np.asarray(params.layers[0].w),
+                           np.asarray(params2.layers[0].w))
