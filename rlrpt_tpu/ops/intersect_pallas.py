@@ -1,0 +1,179 @@
+"""Pallas TPU closest-hit kernel.
+
+The measured hot loop (SURVEY §3.1: Ray::closest_intersection, ray.cu:17-36)
+as a fused VMEM-resident kernel: for each tile of rays, Moller-Trumbore is
+evaluated against triangle chunks entirely in VMEM with a running
+min/argmin — the (rays, triangles) intermediate never touches HBM (the
+XLA fallback in ops/intersect.py materialises it).
+
+Layout (TPU tiling: lanes = rays, sublanes = triangles):
+
+* rays packed (8, R_pad) float32 — rows 0-2 origin xyz, 3-5 direction xyz,
+  rows 6-7 padding (sublane alignment);
+* triangles packed (T_pad, 16) float32 — cols 0-2 v0, 3-5 e1 (v1-v0),
+  6-8 e2 (v2-v0); padding triangles are degenerate (det == 0 -> never hit);
+* outputs (8, R_pad) — row 0 broadcast over sublanes for (8, 128) block\n  alignment: best t (inf for miss) and best triangle index.
+
+An `active_count` scalar is prefetched (PrefetchScalarGridSpec): ray tiles
+whose start lies past the count skip the whole triangle sweep — combined
+with the integrator's compaction this removes the dead-ray tail that
+dominates long bounce loops.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rlrpt_tpu.scene.scene import Scene
+
+INF = 3.0e38  # plain float: jnp constants would be captured consts in the kernel
+R_TILE = 512        # rays per grid step (lanes, multiple of 128)
+T_CHUNK_MAX = 256   # max triangles per inner step (sublanes, multiple of 8)
+
+
+def _t_chunk(n_tris: int) -> int:
+    """Sublane chunk: small scenes use one right-sized chunk instead of
+    padding up to T_CHUNK_MAX (a 6.7x waste for the 38-triangle Cornell)."""
+    t8 = max(8, int(math.ceil(n_tris / 8) * 8))
+    return min(T_CHUNK_MAX, t8)
+
+
+def _hit_kernel(count_ref, rays_ref, tris_ref, t_ref, idx_ref, *,
+                n_chunks: int, t_chunk: int, r_tile: int):
+    tile = pl.program_id(0)
+
+    @pl.when(tile * r_tile < count_ref[0])
+    def _():
+        ox = rays_ref[0, :][None, :]
+        oy = rays_ref[1, :][None, :]
+        oz = rays_ref[2, :][None, :]
+        dx = rays_ref[3, :][None, :]
+        dy = rays_ref[4, :][None, :]
+        dz = rays_ref[5, :][None, :]
+
+        best_t = jnp.full((1, r_tile), INF, jnp.float32)
+        best_i = jnp.zeros((1, r_tile), jnp.int32)
+
+        for c in range(n_chunks):
+            s = c * t_chunk
+            v0x = tris_ref[pl.ds(s, t_chunk), 0][:, None]
+            v0y = tris_ref[pl.ds(s, t_chunk), 1][:, None]
+            v0z = tris_ref[pl.ds(s, t_chunk), 2][:, None]
+            e1x = tris_ref[pl.ds(s, t_chunk), 3][:, None]
+            e1y = tris_ref[pl.ds(s, t_chunk), 4][:, None]
+            e1z = tris_ref[pl.ds(s, t_chunk), 5][:, None]
+            e2x = tris_ref[pl.ds(s, t_chunk), 6][:, None]
+            e2y = tris_ref[pl.ds(s, t_chunk), 7][:, None]
+            e2z = tris_ref[pl.ds(s, t_chunk), 8][:, None]
+
+            # Moller-Trumbore on the (T_CHUNK, R_TILE) block.
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv_det = jnp.where(det == 0.0, 0.0, 1.0 / det)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+
+            valid = ((det != 0.0) & (u >= 0.0) & (v >= 0.0)
+                     & (u + v <= 1.0) & (t > 0.0))
+            t = jnp.where(valid, t, INF)
+
+            # Running min + first-minimum index (ties resolve to the lowest
+            # triangle index, matching the XLA argmin / reference scan order).
+            cmin = jnp.min(t, axis=0, keepdims=True)                 # (1, R)
+            tri_ids = jax.lax.broadcasted_iota(jnp.int32,
+                                               (t_chunk, r_tile), 0)
+            hit_ids = jnp.where(t == cmin, tri_ids, t_chunk)
+            cidx = jnp.min(hit_ids, axis=0, keepdims=True) + s
+            take = cmin < best_t
+            best_i = jnp.where(take, cidx, best_i)
+            best_t = jnp.where(take, cmin, best_t)
+
+        t_ref[:, :] = jnp.broadcast_to(best_t, (8, r_tile))
+        idx_ref[:, :] = jnp.broadcast_to(best_i, (8, r_tile))
+
+    @pl.when(tile * r_tile >= count_ref[0])
+    def _():
+        t_ref[:, :] = jnp.full((8, r_tile), INF, jnp.float32)
+        idx_ref[:, :] = jnp.zeros((8, r_tile), jnp.int32)
+
+
+def pack_triangles(scene: Scene) -> jnp.ndarray:
+    """Scene triangles -> (T_pad, 16) kernel layout (traceable; pad
+    triangles are degenerate so det == 0 and they never hit)."""
+    v0 = jnp.asarray(scene.v0, jnp.float32)
+    e1 = jnp.asarray(scene.v1, jnp.float32) - v0
+    e2 = jnp.asarray(scene.v2, jnp.float32) - v0
+    t = v0.shape[0]
+    chunk = _t_chunk(t)
+    t_pad = int(math.ceil(t / chunk) * chunk)
+    packed = jnp.concatenate(
+        [v0, e1, e2, jnp.zeros((t, 7), jnp.float32)], axis=1)   # (T, 16)
+    return jnp.pad(packed, ((0, t_pad - t), (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "r_tile"))
+def closest_hit_packed(o: jnp.ndarray, d: jnp.ndarray, tris: jnp.ndarray,
+                       active_count: jnp.ndarray, interpret: bool = False,
+                       r_tile: int = R_TILE):
+    """Closest hit for rays (R, 3)/(R, 3) against packed triangles.
+
+    active_count: int32 scalar — rays at index >= count are skipped (their
+    outputs are INF/0).  R is padded to a multiple of R_TILE internally.
+    Returns (t (R,), tri_idx (R,) int32).
+    """
+    r = o.shape[0]
+    r_pad = int(math.ceil(r / r_tile) * r_tile)
+    rays = jnp.zeros((8, r_pad), jnp.float32)
+    rays = rays.at[0:3, :r].set(o.T)
+    rays = rays.at[3:6, :r].set(d.T)
+
+    n_tiles = r_pad // r_tile
+    t_chunk = _t_chunk(tris.shape[0])
+    n_chunks = tris.shape[0] // t_chunk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, r_tile), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tris.shape[0], 16), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, r_tile), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, r_tile), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    t, idx = pl.pallas_call(
+        functools.partial(_hit_kernel, n_chunks=n_chunks, t_chunk=t_chunk,
+                          r_tile=r_tile),
+        out_shape=[
+            jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, r_pad), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=55 * r_pad * tris.shape[0], transcendentals=0,
+            bytes_accessed=(8 * r_pad + 16 * tris.shape[0]) * 4),
+    )(jnp.asarray(active_count, jnp.int32).reshape(1), rays, tris)
+    return t[0, :r], idx[0, :r]
