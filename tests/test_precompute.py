@@ -90,3 +90,23 @@ def test_precompute_and_render_modes():
     img2 = np.asarray(img2)
     assert img2.shape == (24, 24, 3) and np.isfinite(img2).all()
     assert img2.mean() > 0.0
+
+
+def test_volume_visualization_mesh():
+    from rlrpt_tpu.radiance.visualize import (inject_volumes_into_scene,
+                                              volumes_to_surfaces)
+    scene = cornell_box()
+    vols = build_radiance_volumes(scene, _RL)
+    v0, v1, v2, rgb = volumes_to_surfaces(vols, indices=[0, 1])
+    s = _RL.n_sectors
+    assert v0.shape == (2 * 2 * s, 3) and rgb.shape == (2 * 2 * s, 3)
+    # colours are (ratio, 1-ratio, 0)
+    np.testing.assert_allclose(rgb[:, 0] + rgb[:, 1], 1.0, atol=1e-6)
+    np.testing.assert_allclose(rgb[:, 2], 0.0)
+    # mesh vertices sit on the DIAMETER-scaled hemisphere shell
+    c = np.asarray(vols.position[0])
+    r = np.linalg.norm(v0[:s] - c, axis=-1)
+    assert (r <= 0.15 + 1e-5).all()
+    s2 = inject_volumes_into_scene(scene, vols, indices=[0])
+    assert s2.n_surfaces == scene.n_surfaces + 2 * s
+    assert s2.n_lights == scene.n_lights
