@@ -59,6 +59,20 @@ class Camera:
         return Camera(position=m @ self.position, yaw_y=self.yaw_y,
                       yaw_x=self.yaw_x + x)
 
+    # --- movement (ref: camera.cu:47-83).  The reference computes the new
+    # position along the current yaw, then runs it through look_at(new, up)
+    # whose translation column IS the new position — so position simply
+    # moves; yaw is unchanged.
+    def move_forwards(self, distance: float) -> "Camera":
+        delta = jnp.stack([-distance * jnp.sin(self.yaw_y),
+                           jnp.zeros_like(self.yaw_y),
+                           distance * jnp.cos(self.yaw_y)])
+        return Camera(position=self.position + delta, yaw_y=self.yaw_y,
+                      yaw_x=self.yaw_x)
+
+    def move_backwards(self, distance: float) -> "Camera":
+        return self.move_forwards(-distance)
+
 
 def rotate_dirs(d: jnp.ndarray, yaw_y, yaw_x) -> jnp.ndarray:
     """Apply Ray::rotate_ray (ref: ray.cu:163-172) to directions (..., 3)."""

@@ -4,20 +4,22 @@ Same estimator as integrators.default_tracer (ref:
 GPU_Rendering_Engine/Source/path_tracing/default_path_tracing.cu:36-88),
 re-organised for TPU throughput:
 
-* ONE ray slot pool for the whole frame with **sample regeneration**: when a
-  ray terminates, its slot immediately pulls the next (pixel, sample) from
-  the frame's queue — utilisation stays ~100% instead of waiting out the
-  longest path of every spp round (the naive wavefront wastes
-  (bounce_cap / avg_path) ≈ 10x on the reference's 80-bounce config);
+* one ray slot per pixel; a slot re-traces ITS pixel's next sample the
+  moment the previous one terminates ("sample regeneration") —
+  utilisation stays ~100% instead of waiting out the longest path of every
+  spp round (a naive lockstep wavefront wastes bounce_cap / avg_path ≈ 10x
+  on the reference's 80-bounce config);
 * **compaction** each bounce: a cumsum-scatter permutation (O(W), no sort)
   packs live rays to the front so the Pallas closest-hit kernel
-  (ops.intersect_pallas) only sweeps ceil(live / R_TILE) tiles — this is
-  what drains the end-of-frame tail cheaply;
-* radiance lands in a per-pixel accumulator via deterministic segment_sum;
-* RNG is drawn per *iteration* for the whole wavefront (one threefry call
+  (ops.intersect_pallas) only sweeps ceil(live / R_TILE) tiles, draining
+  the end-of-frame tail cheaply;
+* radiance accumulates **per slot** (pure elementwise) and is scattered to
+  pixels ONCE per frame — a per-bounce segment_sum scatter measured 21 ms
+  (it serialises on TPU) vs <0.1 ms for everything else in the loop;
+* RNG is drawn per iteration for the whole wavefront (one threefry call
   for (W, k) uniforms) — per-ray fold_in key chains cost ~1M hashes per
-  bounce and measured 80x slower than the whole rest of the loop.  The
-  image is still deterministic for a base key; per-sample bitwise
+  bounce and measured 80x slower than the rest of the loop combined.  The
+  image is deterministic for a base key; per-sample bitwise
   reproducibility across schedules is not preserved (the reference's
   cuRAND sequences aren't reproducible either, SURVEY §7 "RNG parity").
 """
@@ -42,12 +44,13 @@ _INF_CUT = jnp.float32(1.0e38)
 class _WaveState(NamedTuple):
     o: jnp.ndarray          # (W, 3)
     d: jnp.ndarray          # (W, 3)
-    tp: jnp.ndarray         # (W, 3) throughput
-    pixel: jnp.ndarray      # (W,) int32 pixel id
-    bounce: jnp.ndarray     # (W,) int32 bounces taken so far
+    tp: jnp.ndarray         # (W, 3) current sample's throughput
+    pixel: jnp.ndarray      # (W,) int32 pixel id of the slot
+    bounce: jnp.ndarray     # (W,) int32 bounces taken by the current sample
+    remaining: jnp.ndarray  # (W,) int32 samples left for this pixel AFTER
+                            # the current one
     active: jnp.ndarray     # (W,) bool
-    next_sample: jnp.ndarray  # scalar int32: next queue entry
-    radiance: jnp.ndarray   # (n_pixels, 3) accumulator
+    slot_rad: jnp.ndarray   # (W, 3) accumulated radiance of the slot's pixel
     path_sum: jnp.ndarray   # scalar float32: sum of finished path lengths
     iters: jnp.ndarray      # scalar int32
 
@@ -70,24 +73,24 @@ def render_wavefront(key, scene: Scene, camera: Camera, cfg: RenderConfig,
     """Render a frame; returns (image (H,W,3), aux) — statistically
     identical to render_default at the same sample budget."""
     n_pix = cfg.n_pixels
-    w = n_pix  # slot count = one slot per pixel
-    total = n_pix * cfg.samples_per_pixel
+    w = n_pix
+    spp = cfg.samples_per_pixel
+    total = n_pix * spp
     tris = pack_triangles(scene)
     ns = scene.n_surfaces
     arange_w = jnp.arange(w, dtype=jnp.int32)
 
     k_init, k_loop = jax.random.split(key)
 
-    sid0 = arange_w
-    pix0 = sid0 % n_pix
+    pix0 = arange_w
     d0 = _primary_dirs(k_init, pix0, camera, cfg)
     o0 = jnp.broadcast_to(camera.position, d0.shape)
     init = _WaveState(
         o=o0, d=d0, tp=jnp.ones((w, 3), jnp.float32),
         pixel=pix0, bounce=jnp.zeros((w,), jnp.int32),
-        active=sid0 < total,
-        next_sample=jnp.int32(min(w, total)),
-        radiance=jnp.zeros((n_pix, 3), jnp.float32),
+        remaining=jnp.full((w,), spp - 1, jnp.int32),
+        active=jnp.ones((w,), bool),
+        slot_rad=jnp.zeros((w, 3), jnp.float32),
         path_sum=jnp.float32(0.0), iters=jnp.int32(0))
 
     def cond(s: _WaveState):
@@ -103,8 +106,9 @@ def render_wavefront(key, scene: Scene, camera: Camera, cfg: RenderConfig,
         pos = jnp.where(act, jnp.cumsum(act) - 1,
                         m + jnp.cumsum(~act) - 1)           # target slot
         perm_src = jnp.zeros((w,), jnp.int32).at[pos].set(arange_w)
-        o, d, tp, pixel, bounce = (a[perm_src] for a in
-                                   (s.o, s.d, s.tp, s.pixel, s.bounce))
+        o, d, tp, pixel, bounce, remaining, slot_rad = (
+            a[perm_src] for a in (s.o, s.d, s.tp, s.pixel, s.bounce,
+                                  s.remaining, s.slot_rad))
         act = arange_w < m
 
         # ---- closest hit on the live prefix only ------------------------
@@ -113,12 +117,11 @@ def render_wavefront(key, scene: Scene, camera: Camera, cfg: RenderConfig,
         hit_light = act & ~missed & (tri >= ns)
         hit_surface = act & ~missed & (tri < ns)
 
-        # ---- terminal contributions ------------------------------------
+        # ---- terminal contributions (per slot, elementwise) -------------
         contrib = (jnp.where(missed[:, None], tp * cfg.environment_light, 0.0)
                    + jnp.where(hit_light[:, None], tp * scene.emission[tri],
                                0.0))
-        radiance = s.radiance + jax.ops.segment_sum(contrib, pixel,
-                                                    num_segments=n_pix)
+        slot_rad = slot_rad + contrib
 
         # ---- diffuse bounce for survivors ------------------------------
         exhausted = hit_surface & (bounce + 1 >= cfg.max_ray_bounces)
@@ -127,11 +130,11 @@ def render_wavefront(key, scene: Scene, camera: Camera, cfg: RenderConfig,
         new_d, cos_theta = sample_uniform_direction(k_dir, normal)
         brdf = scene.diffuse_c[tri] / jnp.pi
         pos3 = o + t[:, None] * d
-        tp_new = jnp.where(survive[:, None],
-                           tp * brdf * (cos_theta[:, None] / RHO), tp)
-        o_new = jnp.where(survive[:, None], pos3 + cfg.eps * new_d, o)
-        d_new = jnp.where(survive[:, None], new_d, d)
-        bounce_new = jnp.where(survive, bounce + 1, bounce)
+        tp = jnp.where(survive[:, None],
+                       tp * brdf * (cos_theta[:, None] / RHO), tp)
+        o = jnp.where(survive[:, None], pos3 + cfg.eps * new_d, o)
+        d = jnp.where(survive[:, None], new_d, d)
+        bounce = jnp.where(survive, bounce + 1, bounce)
 
         # ---- stats: finished path lengths ------------------------------
         done = missed | hit_light
@@ -141,42 +144,27 @@ def render_wavefront(key, scene: Scene, camera: Camera, cfg: RenderConfig,
                     + jnp.sum(jnp.where(exhausted,
                                         jnp.float32(cfg.max_ray_bounces), 0.0)))
 
-        # ---- regeneration: refill freed slots from the sample queue ----
-        def regen(args):
-            o_new, d_new, tp_new, pixel, bounce_new = args
-            free = act & ~survive
-            rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-            new_sid = s.next_sample + rank
-            take = free & (new_sid < total)
-            n_taken = jnp.sum(take.astype(jnp.int32))
-            rpix = jnp.where(take, new_sid % n_pix, 0)
-            rd = _primary_dirs(k_cam, rpix, camera, cfg)
-            ro = jnp.broadcast_to(camera.position, rd.shape)
-            return (jnp.where(take[:, None], ro, o_new),
-                    jnp.where(take[:, None], rd, d_new),
-                    jnp.where(take[:, None], 1.0, tp_new),
-                    jnp.where(take, rpix, pixel),
-                    jnp.where(take, 0, bounce_new),
-                    survive | take, n_taken)
+        # ---- regeneration: next sample of the SAME pixel ----------------
+        free = act & ~survive
+        regen = free & (remaining > 0)
+        rd = _primary_dirs(k_cam, pixel, camera, cfg)
+        o = jnp.where(regen[:, None], camera.position[None, :], o)
+        d = jnp.where(regen[:, None], rd, d)
+        tp = jnp.where(regen[:, None], 1.0, tp)
+        bounce = jnp.where(regen, 0, bounce)
+        remaining = jnp.where(regen, remaining - 1, remaining)
+        active = survive | regen
 
-        def no_regen(args):
-            o_new, d_new, tp_new, pixel, bounce_new = args
-            return (o_new, d_new, tp_new, pixel, bounce_new, survive,
-                    jnp.int32(0))
-
-        (o_new, d_new, tp_new, pixel, bounce_new, active,
-         n_taken) = jax.lax.cond(s.next_sample < total, regen, no_regen,
-                                 (o_new, d_new, tp_new, pixel, bounce_new))
-
-        return _WaveState(o=o_new, d=d_new, tp=tp_new, pixel=pixel,
-                          bounce=bounce_new, active=active,
-                          next_sample=s.next_sample + n_taken,
-                          radiance=radiance, path_sum=path_sum,
+        return _WaveState(o=o, d=d, tp=tp, pixel=pixel, bounce=bounce,
+                          remaining=remaining, active=active,
+                          slot_rad=slot_rad, path_sum=path_sum,
                           iters=s.iters + 1)
 
     final = jax.lax.while_loop(cond, body, init)
-    img = (final.radiance / cfg.samples_per_pixel).reshape(
-        cfg.height, cfg.width, 3)
+    # ONE pixel scatter per frame (slot -> pixel is a permutation).
+    radiance = jnp.zeros((n_pix, 3), jnp.float32).at[final.pixel].set(
+        final.slot_rad)
+    img = (radiance / spp).reshape(cfg.height, cfg.width, 3)
     aux = {"avg_path_length": final.path_sum / total,
            "wavefront_iterations": final.iters}
     return img, aux

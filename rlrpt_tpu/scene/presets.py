@@ -12,7 +12,7 @@ import dataclasses
 import os
 from typing import Callable, Optional, Sequence
 
-from rlrpt_tpu.scene.cornell import cornell_box
+from rlrpt_tpu.scene.cornell import cornell_box, monte_carlo_test_scene
 from rlrpt_tpu.scene.obj_importer import (LightRange, LightSpec, MaterialRule,
                                           load_obj_scene)
 from rlrpt_tpu.scene.scene import Scene
@@ -92,6 +92,12 @@ def _register(p: ScenePreset) -> ScenePreset:
 
 # Hard-coded Cornell (ref: cornell_box_scene.cu; camera main.cu:101).
 _register(ScenePreset(name="cornell", builder=cornell_box,
+                      camera_position=(0.0, 0.0, -3.0)))
+
+# The CPU engine's extra hard-coded test room
+# (ref: Old_CPU_Rendering_Engine/Source/scenes/monte_carlo_test_scene.cpp;
+# camera Old_CPU_Rendering_Engine/Source/main.cpp).
+_register(ScenePreset(name="test_room", builder=monte_carlo_test_scene,
                       camera_position=(0.0, 0.0, -3.0)))
 
 # box.obj — the Cornell-like OBJ scene (BASELINE.json config #1).  The
