@@ -19,9 +19,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# Remote TPU compiles over the tunnel take minutes; cache them on disk so
+# repeated bench runs (and the driver's) skip recompilation.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np
 
 from rlrpt_tpu.camera import Camera
