@@ -38,6 +38,17 @@ class RenderConfig:
     # Surface offset applied to secondary-ray origins
     # (ref: default_path_tracing.cu:79 `position + 0.00001f * dir`).
     eps: float = 1e-5
+    # Russian-roulette path termination (BASELINE.json config #3).  The
+    # reference never terminates stochastically (paths die only on
+    # miss / light hit / 80-bounce cap, monte_carlo_settings.h:8); RR is an
+    # optional *unbiased* accelerator: from `rr_start_bounce` on, a
+    # surviving path continues with probability
+    # p = clip(max(throughput), rr_min_prob, 1) and its throughput is
+    # divided by p, so E[estimate] is unchanged while deep low-energy
+    # tails are cut.  Off by default for reference parity.
+    russian_roulette: bool = False
+    rr_start_bounce: int = 3
+    rr_min_prob: float = 0.05
     # Ray-batch tile size for the intersection sweep; tiles are scanned so
     # peak memory is O(tile * n_triangles), MXU/VPU-aligned.
     ray_tile: int = 8192

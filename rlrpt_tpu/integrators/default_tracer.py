@@ -64,7 +64,7 @@ def trace_sample(key, o, d, scene: Scene, cfg: RenderConfig):
         radiance = s.radiance + contrib
 
         # Diffuse bounce (ref: default_path_tracing.cu:65-83).
-        key, sub = jax.random.split(s.key)
+        key, sub, krr = jax.random.split(s.key, 3)
         new_d, cos_theta = sample_uniform_direction(sub, hit.normal)
         brdf = scene.diffuse_c[hit.tri] / jnp.pi
         throughput = jnp.where(
@@ -78,6 +78,18 @@ def trace_sample(key, o, d, scene: Scene, cfg: RenderConfig):
         terminated = is_nothing | is_light
         path_len = jnp.where(terminated, s.bounce + 1, s.path_len)
         active = s.active & is_surface
+
+        # Optional unbiased Russian roulette (config.RenderConfig docstring);
+        # survival weighting keeps E[radiance] identical.
+        if cfg.russian_roulette:
+            p = jnp.clip(jnp.max(throughput, axis=-1),
+                         cfg.rr_min_prob, 1.0)
+            do_rr = active & (s.bounce + 1 >= cfg.rr_start_bounce)
+            killed = do_rr & (jax.random.uniform(krr, (n,)) >= p)
+            throughput = jnp.where((do_rr & ~killed)[:, None],
+                                   throughput / p[:, None], throughput)
+            path_len = jnp.where(killed, s.bounce + 1, path_len)
+            active = active & ~killed
 
         return _WaveState(bounce=s.bounce + 1, key=key, o=o_next, d=d_next,
                           throughput=throughput, active=active,

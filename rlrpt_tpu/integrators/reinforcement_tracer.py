@@ -109,7 +109,7 @@ def trace_sample_sarsa(key, o, d, scene: Scene, vols: RadianceVolumes,
         radiance = s.radiance + contrib
 
         # ---- 3. importance-sample the next direction ---------------------
-        key, sub = jax.random.split(s.key)
+        key, sub, krr = jax.random.split(s.key, 3)
         new_d, sector, pdf = sample_from_cdf(sub, vols_new, next_vol,
                                              rl.grid_rho)
         cos_theta = jnp.sum(hit.normal * new_d, axis=-1)
@@ -126,6 +126,18 @@ def trace_sample_sarsa(key, o, d, scene: Scene, vols: RadianceVolumes,
         terminated = is_nothing | is_light
         path_len = jnp.where(terminated, s.bounce + 1, s.path_len)
         active = s.active & is_surface
+
+        # Optional unbiased Russian roulette (config.RenderConfig docstring);
+        # the RL-guided sampling concentrates throughput, so deep tails are
+        # rare and cheap to cut.
+        if cfg.russian_roulette:
+            p = jnp.clip(jnp.max(throughput, axis=-1), cfg.rr_min_prob, 1.0)
+            do_rr = active & (s.bounce + 1 >= cfg.rr_start_bounce)
+            killed = do_rr & (jax.random.uniform(krr, (n,)) >= p)
+            throughput = jnp.where((do_rr & ~killed)[:, None],
+                                   throughput / p[:, None], throughput)
+            path_len = jnp.where(killed, s.bounce + 1, path_len)
+            active = active & ~killed
 
         # Pending TD state for the next bounce: the sector just sampled,
         # BRDF = this surface's luminance/pi

@@ -98,7 +98,7 @@ def render_wavefront(key, scene: Scene, camera: Camera, cfg: RenderConfig,
 
     def body(s: _WaveState):
         k_iter = jax.random.fold_in(k_loop, s.iters)
-        k_dir, k_cam = jax.random.split(k_iter)
+        k_dir, k_cam, k_rr = jax.random.split(k_iter, 3)
 
         # ---- compaction: live rays to the front ------------------------
         act = s.active
@@ -132,17 +132,29 @@ def render_wavefront(key, scene: Scene, camera: Camera, cfg: RenderConfig,
         pos3 = o + t[:, None] * d
         tp = jnp.where(survive[:, None],
                        tp * brdf * (cos_theta[:, None] / RHO), tp)
+
+        # Optional unbiased Russian roulette (config.RenderConfig docstring):
+        # kill deep low-throughput survivors, reweight the continuers.
+        rr_killed = jnp.zeros_like(survive)
+        if cfg.russian_roulette:
+            p = jnp.clip(jnp.max(tp, axis=-1), cfg.rr_min_prob, 1.0)
+            do_rr = survive & (bounce + 1 >= cfg.rr_start_bounce)
+            rr_killed = do_rr & (jax.random.uniform(k_rr, (w,)) >= p)
+            tp = jnp.where((do_rr & ~rr_killed)[:, None], tp / p[:, None], tp)
+            survive = survive & ~rr_killed
+
         o = jnp.where(survive[:, None], pos3 + cfg.eps * new_d, o)
         d = jnp.where(survive[:, None], new_d, d)
         bounce = jnp.where(survive, bounce + 1, bounce)
 
         # ---- stats: finished path lengths ------------------------------
         done = missed | hit_light
+        fin = (bounce + 1).astype(jnp.float32)
         path_sum = (s.path_sum
-                    + jnp.sum(jnp.where(done, (bounce + 1).astype(jnp.float32),
-                                        0.0))
+                    + jnp.sum(jnp.where(done, fin, 0.0))
                     + jnp.sum(jnp.where(exhausted,
-                                        jnp.float32(cfg.max_ray_bounces), 0.0)))
+                                        jnp.float32(cfg.max_ray_bounces), 0.0))
+                    + jnp.sum(jnp.where(rr_killed, fin, 0.0)))
 
         # ---- regeneration: next sample of the SAME pixel ----------------
         free = act & ~survive

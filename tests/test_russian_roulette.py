@@ -1,0 +1,81 @@
+"""Russian-roulette termination (BASELINE.json config #3).
+
+RR is an optional unbiased accelerator the reference lacks (paths there die
+only on miss / light hit / bounce cap, monte_carlo_settings.h:8): from
+rr_start_bounce on, survivors continue with p = clip(max(throughput),
+rr_min_prob, 1) and are reweighted by 1/p.  These tests check (a) the
+estimator stays unbiased (mean image matches the RR-off render within Monte
+Carlo noise) and (b) paths actually get shorter, on all three integrators
+that support it.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlrpt_tpu.camera import Camera
+from rlrpt_tpu.config import RadianceVolumeConfig, RenderConfig
+from rlrpt_tpu.integrators.default_tracer import render_default
+from rlrpt_tpu.integrators.reinforcement_tracer import render_frame_sarsa
+from rlrpt_tpu.integrators.wavefront import render_wavefront
+from rlrpt_tpu.radiance.volumes import build_radiance_volumes
+from rlrpt_tpu.scene import cornell_box
+
+_CFG = RenderConfig(width=32, height=32, samples_per_pixel=24,
+                    max_ray_bounces=24, ray_tile=1024)
+_RR = dataclasses.replace(_CFG, russian_roulette=True, rr_start_bounce=3,
+                          rr_min_prob=0.1)
+_CAM = Camera.create([0.0, 0.0, -3.0])
+
+
+def _mean_err(a, b):
+    return float(jnp.mean(jnp.abs(a - b)))
+
+
+def test_rr_default_tracer_unbiased_and_shorter():
+    scene = cornell_box()
+    img_off, aux_off = render_default(jax.random.PRNGKey(7), scene, _CAM, _CFG)
+    img_on, aux_on = render_default(jax.random.PRNGKey(7), scene, _CAM, _RR)
+    # Monte-Carlo noise floor: two independent RR-off renders.
+    img_off2, _ = render_default(jax.random.PRNGKey(8), scene, _CAM, _CFG)
+    noise = _mean_err(img_off, img_off2)
+    assert _mean_err(img_on, img_off) < 3.0 * noise + 1e-3
+    assert float(aux_on["avg_path_length"]) < float(aux_off["avg_path_length"])
+
+
+def test_rr_wavefront_unbiased_and_shorter():
+    scene = cornell_box()
+    img_off, aux_off = render_wavefront(jax.random.PRNGKey(7), scene, _CAM,
+                                        _CFG, interpret=True)
+    img_on, aux_on = render_wavefront(jax.random.PRNGKey(7), scene, _CAM, _RR,
+                                      interpret=True)
+    img_off2, _ = render_wavefront(jax.random.PRNGKey(9), scene, _CAM, _CFG,
+                                   interpret=True)
+    noise = _mean_err(img_off, img_off2)
+    assert _mean_err(img_on, img_off) < 3.0 * noise + 1e-3
+    assert float(aux_on["avg_path_length"]) < float(aux_off["avg_path_length"])
+
+
+def test_rr_sarsa_tracer_runs_and_shortens_paths():
+    scene = cornell_box()
+    rl = RadianceVolumeConfig(area_per_sample=0.05, max_volumes=256)
+    vols = build_radiance_volumes(scene, rl)
+    _, _, aux_off = render_frame_sarsa(jax.random.PRNGKey(7), scene, _CAM,
+                                       vols, _CFG, rl)
+    img_on, _, aux_on = render_frame_sarsa(jax.random.PRNGKey(7), scene, _CAM,
+                                           vols, _RR, rl)
+    assert float(aux_on["avg_path_length"]) < float(aux_off["avg_path_length"])
+    assert bool(jnp.all(jnp.isfinite(img_on)))
+
+
+def test_rr_off_is_bitwise_default():
+    """russian_roulette=False must not change the RNG stream / result."""
+    scene = cornell_box()
+    cfg_small = dataclasses.replace(_CFG, samples_per_pixel=4,
+                                    max_ray_bounces=8)
+    a, _ = render_default(jax.random.PRNGKey(3), scene, _CAM, cfg_small)
+    b, _ = render_default(jax.random.PRNGKey(3), scene, _CAM,
+                          dataclasses.replace(cfg_small, rr_start_bounce=5))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
