@@ -21,7 +21,12 @@ Modes (reference mapping):
                          frozen precomputed map)
   precomputed   CPU engine mode 2 (precompute_irradiance_path_tracing.cpp)
   wavefront     `default` on the fast persistent-wavefront path
+  mega          `default` on the single-pass Pallas TPU megakernel
+                (the bench.py fast path; TPU only)
   distill       NN_Q_Value_Trainer (offline Q-table -> DQN)
+
+--russian-roulette enables the optional unbiased RR termination
+(config.RenderConfig) on the default/wavefront/sarsa paths.
 """
 
 from __future__ import annotations
@@ -39,7 +44,7 @@ from rlrpt_tpu.scene import presets
 from rlrpt_tpu.utils.image import write_bmp, write_png
 from rlrpt_tpu.utils.stats import StatsLogger
 
-MODES = ("default", "wavefront", "sarsa", "voronoi", "neural-q",
+MODES = ("default", "wavefront", "mega", "sarsa", "voronoi", "neural-q",
          "pretrained", "q-probe", "importance", "precomputed", "distill")
 
 
@@ -69,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="vertices.txt (distill mode)")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--precompute-spp", type=int, default=16)
+    p.add_argument("--russian-roulette", action="store_true")
+    p.add_argument("--rr-start-bounce", type=int, default=3)
+    p.add_argument("--rr-min-prob", type=float, default=0.05)
     return p
 
 
@@ -86,7 +94,10 @@ def main(argv=None) -> int:
     key = jax.random.PRNGKey(args.seed)
     cfg = RenderConfig(width=args.width, height=args.height,
                        samples_per_pixel=args.spp,
-                       max_ray_bounces=args.bounces)
+                       max_ray_bounces=args.bounces,
+                       russian_roulette=args.russian_roulette,
+                       rr_start_bounce=args.rr_start_bounce,
+                       rr_min_prob=args.rr_min_prob)
     rl = RadianceVolumeConfig(grid_resolution=args.grid_resolution,
                               area_per_sample=args.area_per_sample)
     dl = DeepLearningConfig()
@@ -109,8 +120,11 @@ def main(argv=None) -> int:
     camera = Camera.create(preset.camera_position)
     t0 = time.time()
 
-    if args.mode in ("default", "wavefront"):
-        if args.mode == "wavefront":
+    if args.mode in ("default", "wavefront", "mega"):
+        if args.mode == "mega":
+            from rlrpt_tpu.ops.megakernel import render_default_mega
+            img, aux = render_default_mega(key, scene, camera, cfg)
+        elif args.mode == "wavefront":
             from rlrpt_tpu.integrators.wavefront import render_wavefront
             img, aux = render_wavefront(key, scene, camera, cfg)
         else:
