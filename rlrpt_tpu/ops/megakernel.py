@@ -283,20 +283,28 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, out_ref,
                 precision=jax.lax.Precision.HIGHEST)
             return best_t, mat
 
-        # Multi-chunk: two passes recomputing tt (holding every chunk's
-        # (t_chunk, r) tt live would scale VMEM with scene size).
+        # Multi-chunk: ONE streaming pass with a running argmin — each
+        # chunk resolves its own local winner (one-hot against the CHUNK
+        # minimum), fetches its material row, and the (16, r) running `mat`
+        # is overwritten wherever the chunk's minimum strictly improves the
+        # global best (strict `<` keeps the lowest-indexed chunk on exact
+        # cross-chunk ties, mirroring the reference's first-tested-wins
+        # sweep, ray.cu:17-36).  Holding every chunk's (t_chunk, r) tt live
+        # would scale VMEM with scene size; the old two-pass recompute
+        # doubled the big matmuls instead — this does neither.
         best_t = jnp.full((1, r), INF, jnp.float32)
-        for c in range(n_chunks):
-            best_t = jnp.minimum(
-                best_t, jnp.min(chunk_tt(c), axis=0, keepdims=True))
         mat = jnp.zeros((16, r), jnp.float32)
         for c in range(n_chunks):
             tt = chunk_tt(c)
-            onehot = ((tt == best_t) & (best_t < INF)).astype(jnp.float32)
-            mat = mat + jax.lax.dot_general(
+            cmin = jnp.min(tt, axis=0, keepdims=True)      # (1, r)
+            onehot = ((tt == cmin) & (cmin < INF)).astype(jnp.float32)
+            mat_c = jax.lax.dot_general(
                 mtbl_ref[:, pl.ds(c * t_chunk, t_chunk)], onehot,
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
+            better = cmin < best_t                          # (1, r)
+            mat = jnp.where(better, mat_c, mat)
+            best_t = jnp.minimum(best_t, cmin)
         return best_t, mat
 
     # ---- initial state: every slot starts its k=0 pixel's first sample --

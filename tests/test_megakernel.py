@@ -60,3 +60,27 @@ def test_pixel_mapping_no_holes(renders):
     dark_m = int((img_m.max(axis=-1) == 0.0).sum())
     dark_d = int((img_d.max(axis=-1) == 0.0).sum())
     assert dark_m <= dark_d + 25
+
+
+def test_multichunk_matches_single_chunk(monkeypatch):
+    """The streaming one-pass multi-chunk argmin must produce the exact
+    same image as the single-chunk sweep (same RNG stream — the chunking
+    only changes how the intersection reduction is tiled)."""
+    import rlrpt_tpu.ops.megakernel as mk
+
+    cfg = config.RenderConfig(width=24, height=24, samples_per_pixel=4,
+                              max_ray_bounces=8, ray_tile=1024)
+    scene = cornell_box()
+    cam = Camera.create(get_preset("cornell").camera_position)
+    img_one, _ = render_default_mega(jax.random.PRNGKey(5), scene, cam, cfg,
+                                     r_tile=128, pix_mux=8, interpret=True)
+    monkeypatch.setattr(mk, "T_CHUNK", 32)   # 114 tris -> 4 chunks of 32
+    # T_CHUNK is read at trace time; drop the jit cache so the patched
+    # value actually re-traces (same static args would otherwise hit it).
+    jax.clear_caches()
+    assert mk._t_pad(scene.v0.shape[0]) == 128  # 4 chunks of 32
+    img_multi, _ = mk.render_default_mega(jax.random.PRNGKey(5), scene, cam,
+                                          cfg, r_tile=128, pix_mux=8,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(img_multi), np.asarray(img_one),
+                               rtol=1e-5, atol=1e-6)
