@@ -63,8 +63,14 @@ def trace_sample(key, o, d, scene: Scene, cfg: RenderConfig):
                                s.throughput * scene.emission[hit.tri], 0.0))
         radiance = s.radiance + contrib
 
-        # Diffuse bounce (ref: default_path_tracing.cu:65-83).
-        key, sub, krr = jax.random.split(s.key, 3)
+        # Diffuse bounce (ref: default_path_tracing.cu:65-83).  The RR key is
+        # drawn only when RR is enabled (static branch): split(key, 3) would
+        # perturb the threefry stream and break bitwise parity of RR-off
+        # renders with the plain renderer (ADVICE r1).
+        if cfg.russian_roulette:
+            key, sub, krr = jax.random.split(s.key, 3)
+        else:
+            key, sub = jax.random.split(s.key)
         new_d, cos_theta = sample_uniform_direction(sub, hit.normal)
         brdf = scene.diffuse_c[hit.tri] / jnp.pi
         throughput = jnp.where(

@@ -109,7 +109,12 @@ def trace_sample_sarsa(key, o, d, scene: Scene, vols: RadianceVolumes,
         radiance = s.radiance + contrib
 
         # ---- 3. importance-sample the next direction ---------------------
-        key, sub, krr = jax.random.split(s.key, 3)
+        # RR key drawn only when enabled (static branch) so RR-off renders
+        # keep the pre-RR threefry stream bitwise (ADVICE r1).
+        if cfg.russian_roulette:
+            key, sub, krr = jax.random.split(s.key, 3)
+        else:
+            key, sub = jax.random.split(s.key)
         new_d, sector, pdf = sample_from_cdf(sub, vols_new, next_vol,
                                              rl.grid_rho)
         cos_theta = jnp.sum(hit.normal * new_d, axis=-1)

@@ -98,7 +98,12 @@ def render_wavefront(key, scene: Scene, camera: Camera, cfg: RenderConfig,
 
     def body(s: _WaveState):
         k_iter = jax.random.fold_in(k_loop, s.iters)
-        k_dir, k_cam, k_rr = jax.random.split(k_iter, 3)
+        # RR key drawn only when enabled (static branch) so RR-off renders
+        # keep the pre-RR threefry stream bitwise (ADVICE r1).
+        if cfg.russian_roulette:
+            k_dir, k_cam, k_rr = jax.random.split(k_iter, 3)
+        else:
+            k_dir, k_cam = jax.random.split(k_iter)
 
         # ---- compaction: live rays to the front ------------------------
         act = s.active

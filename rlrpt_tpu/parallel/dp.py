@@ -20,7 +20,7 @@ ICI-within-slice / DCN-between-slices as laid out by XLA.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -50,26 +50,25 @@ def _padded_rays(key, camera, cfg: RenderConfig, n_dev: int):
     return o, d, r
 
 
-def render_default_dp(key, scene: Scene, camera: Camera, cfg: RenderConfig,
-                      mesh=None):
-    """Sharded default path trace; returns (image (H,W,3), aux).
+@lru_cache(maxsize=None)
+def _default_dp_frame(mesh, cfg: RenderConfig):
+    """Build (once per (mesh, cfg)) the jitted sharded default-trace frame.
 
-    The bounce loop has no cross-device state, so each device traces its ray
-    shard fully independently — zero collectives until image assembly.
-    """
-    mesh = mesh or make_mesh()
+    Scene and camera are traced arguments, so re-invoking with the same mesh
+    and config never re-traces (ADVICE r1: a per-call @jax.jit closure made
+    every repeat recompile, contaminating the scaling bench)."""
     n_dev = mesh.devices.size
 
-    @partial(jax.jit, static_argnames=())
-    def frame(key):
-        def shard_fn(key, o, d):
+    @jax.jit
+    def frame(key, scene, camera):
+        def shard_fn(key, o, d, scene_r):
             # Per-device decorrelated keys.
             key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
-            rad, plen = trace_sample(key, o, d, scene, cfg)
+            rad, plen = trace_sample(key, o, d, scene_r, cfg)
             return rad, plen
 
         traced = shard_map(shard_fn, mesh=mesh,
-                           in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS)),
+                           in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P()),
                            out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
                            check_vma=False)
 
@@ -78,7 +77,7 @@ def render_default_dp(key, scene: Scene, camera: Camera, cfg: RenderConfig,
             kcam = jax.random.fold_in(jax.random.fold_in(key, i), 1)
             ktrace = jax.random.fold_in(jax.random.fold_in(key, i), 2)
             o, d, r = _padded_rays(kcam, camera, cfg, n_dev)
-            rad, plen = traced(ktrace, o, d)
+            rad, plen = traced(ktrace, o, d, scene)
             return acc + rad[:r], path_acc + plen[:r]
 
         n = cfg.n_pixels
@@ -89,7 +88,19 @@ def render_default_dp(key, scene: Scene, camera: Camera, cfg: RenderConfig,
         avg = jnp.mean(path_acc.astype(jnp.float32)) / cfg.samples_per_pixel
         return img, {"avg_path_length": avg}
 
-    return frame(key)
+    return frame
+
+
+def render_default_dp(key, scene: Scene, camera: Camera, cfg: RenderConfig,
+                      mesh=None):
+    """Sharded default path trace; returns (image (H,W,3), aux).
+
+    The bounce loop has no cross-device state, so each device traces its ray
+    shard fully independently — zero collectives until image assembly.
+    The compiled frame is cached per (mesh, cfg); repeat calls only execute.
+    """
+    mesh = mesh or make_mesh()
+    return _default_dp_frame(mesh, cfg)(key, scene, camera)
 
 
 def render_frame_sarsa_dp(key, scene: Scene, camera: Camera,

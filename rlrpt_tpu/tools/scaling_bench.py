@@ -52,7 +52,10 @@ def run_scaling(scene, camera, cfg: RenderConfig, sizes, repeats: int = 3):
     base_rps = None
     for d in sizes:
         if d > jax.device_count():
-            break
+            # Skip (don't abort) so an unsorted --sizes list still measures
+            # every size that fits, and truncation is visible (ADVICE r1).
+            print(f"# skipping size {d}: only {jax.device_count()} devices")
+            continue
         mesh = make_mesh(d)
         key = jax.random.PRNGKey(1984)
 
@@ -72,7 +75,7 @@ def run_scaling(scene, camera, cfg: RenderConfig, sizes, repeats: int = 3):
                           * cfg.n_pixels * cfg.samples_per_pixel)
         rps = total_segments / best
         if base_rps is None:
-            base_rps = rps
+            base_rps, base_d = rps, d
         speedup = rps / base_rps
         results.append({
             "devices": d,
@@ -80,7 +83,7 @@ def run_scaling(scene, camera, cfg: RenderConfig, sizes, repeats: int = 3):
             "rays_per_sec": rps,
             "rays_per_sec_per_device": rps / d,
             "speedup": speedup,
-            "efficiency": speedup / (d / sizes[0]),
+            "efficiency": speedup / (d / base_d),
         })
     return results
 

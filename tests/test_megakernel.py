@@ -74,11 +74,13 @@ def test_multichunk_matches_single_chunk(monkeypatch):
     cam = Camera.create(get_preset("cornell").camera_position)
     img_one, _ = render_default_mega(jax.random.PRNGKey(5), scene, cam, cfg,
                                      r_tile=128, pix_mux=8, interpret=True)
-    monkeypatch.setattr(mk, "T_CHUNK", 32)   # 114 tris -> 4 chunks of 32
+    monkeypatch.setattr(mk, "T_CHUNK", 32)   # 38 tris -> 2 chunks of 32
     # T_CHUNK is read at trace time; drop the jit cache so the patched
     # value actually re-traces (same static args would otherwise hit it).
     jax.clear_caches()
-    assert mk._t_pad(scene.v0.shape[0]) == 128  # 4 chunks of 32
+    n_tris = scene.v0.shape[0]
+    padded = mk._t_pad(n_tris)
+    assert padded > mk.T_CHUNK and padded % mk.T_CHUNK == 0  # genuinely multi-chunk
     img_multi, _ = mk.render_default_mega(jax.random.PRNGKey(5), scene, cam,
                                           cfg, r_tile=128, pix_mux=8,
                                           interpret=True)

@@ -71,7 +71,15 @@ def test_rr_sarsa_tracer_runs_and_shortens_paths():
 
 
 def test_rr_off_is_bitwise_default():
-    """russian_roulette=False must not change the RNG stream / result."""
+    """With russian_roulette=False the rr_* knobs must not change the result.
+
+    Full stream preservation (RR-off renders bitwise-identical to a renderer
+    with no RR code at all) holds by construction: the RR key is drawn inside
+    a static `if cfg.russian_roulette:` branch, so the threefry split count —
+    and hence every downstream sample — is unchanged when RR is off.
+    test_rr_off_key_stream_matches_plain_split checks that split behaviour
+    directly.
+    """
     scene = cornell_box()
     cfg_small = dataclasses.replace(_CFG, samples_per_pixel=4,
                                     max_ray_bounces=8)
@@ -79,3 +87,43 @@ def test_rr_off_is_bitwise_default():
     b, _ = render_default(jax.random.PRNGKey(3), scene, _CAM,
                           dataclasses.replace(cfg_small, rr_start_bounce=5))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rr_off_key_stream_matches_plain_split():
+    """RR-off bounce loops must consume keys as split(key, 2), not (key, 3).
+
+    Reproduces the first bounce of trace_sample's key schedule and checks the
+    direction actually used is the one a plain 2-way split yields (threefry
+    split output depends on the count, so a stray 3-way split would diverge).
+    """
+    from rlrpt_tpu.camera import primary_rays
+    from rlrpt_tpu.ops.hemisphere import sample_uniform_direction
+    from rlrpt_tpu.ops.intersect import closest_hit
+    from rlrpt_tpu.integrators.default_tracer import trace_sample
+
+    scene = cornell_box()
+    cfg = dataclasses.replace(_CFG, samples_per_pixel=1, max_ray_bounces=2)
+    key = jax.random.PRNGKey(11)
+    o, d = primary_rays(jax.random.PRNGKey(0), _CAM, cfg.width, cfg.height,
+                        cfg.focal)
+
+    # Expected bounce-2 origin using the plain 2-way split schedule.
+    hit = closest_hit(o, d, scene, ray_tile=cfg.ray_tile)
+    _, sub = jax.random.split(key)
+    new_d, _ = sample_uniform_direction(sub, hit.normal)
+    # One-bounce trace: radiance of a 2-bounce trace differs from a 1-bounce
+    # trace exactly through new_d; check via a light-hit probe instead —
+    # simpler: rerun trace_sample twice, once with max 1 and once with max 2
+    # bounces; the delta must equal the contribution along new_d.
+    rad2, _ = trace_sample(key, o, d, scene, cfg)
+    rad1, _ = trace_sample(key, o, d, scene,
+                           dataclasses.replace(cfg, max_ray_bounces=1))
+    hit2 = closest_hit(hit.position + cfg.eps * new_d, new_d, scene,
+                       ray_tile=cfg.ray_tile)
+    expects_light = np.asarray(hit2.hit_type == 1)  # AREA_LIGHT
+    delta = np.asarray(jnp.any(rad2 != rad1, axis=-1))
+    surface_first = np.asarray(hit.hit_type == 2)
+    # Wherever the first hit was a surface, a bounce-2 light hit along the
+    # predicted new_d must be exactly where the 2-bounce render gained energy.
+    np.testing.assert_array_equal(delta & surface_first,
+                                  expects_light & surface_first)
