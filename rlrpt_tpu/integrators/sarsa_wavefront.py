@@ -1,0 +1,340 @@
+"""Persistent-wavefront expected-SARSA tracer (the fast RL path).
+
+Same learning rule and estimator as integrators.reinforcement_tracer (ref:
+GPU_Rendering_Engine/Source/path_tracing/reinforcement_path_tracing.cu:50-120,
+radiance_map.cu:91-146), re-organised for TPU throughput the same way
+integrators.wavefront re-organises the default tracer:
+
+* sample regeneration + pixel multiplexing: a slot owns pix_mux pixels
+  (ids slot + k*n_slots) and starts the next sample / next pixel the moment
+  a sample dies, so every iteration's O(W) work (gathers, scatters, NN
+  search) is spent on ~live rays instead of a lockstep wavefront's dying
+  tail — the lockstep SARSA frame runs bounce_cap iterations at ~10%
+  utilisation;
+* cascaded drain: once the live count fits in a 4x smaller wavefront the
+  loop exits, the (compacted) live prefix is sliced into a smaller state
+  and a narrower copy of the same loop continues — the end-of-frame
+  straggler tail (up to bounce_cap iterations) runs at 1/4 .. 1/16 of the
+  full iteration cost instead of full width (dead slots never revive, so
+  the live set is exactly the remaining work);
+* compaction each iteration packs live rays to the front so the Pallas
+  closest-hit kernel only sweeps ceil(live / tile) tiles and the drain
+  slice is exact;
+* the nearest-volume query is the grid-bucketed bounded-reach search
+  (radiance.grid_bucket), O(K) per ray instead of the dense O(V) argmin —
+  the dense search alone costs more per bounce than the entire default
+  megakernel frame at V ~ 2.5e4;
+* the TD bootstrap irradiance is a carried (V,) array refreshed from the
+  updated Q grid once per iteration (one fused (V, S) reduction) and read
+  per ray with a scalar gather — not a (W, S) row gather;
+* sector sampling keeps the (W, S) CDF row gather of volumes.sample_
+  from_cdf — a flat-CDF binary search (volumes.sample_from_cdf_bsearch)
+  was measured SLOWER at every width on a v5e (log2 S dependent scalar
+  gathers serialise worse than one row gather).
+
+Learning semantics are identical to reinforcement_tracer per batch (exact
+composition of the running-mean recurrence, volumes.apply_sarsa_
+contributions); only the batch boundaries differ — here a batch is "one
+wavefront iteration" (mixed bounce depths / samples), there "one bounce of
+one lockstep sample".  The reference's atomics interleave updates in
+arbitrary hardware order anyway (thesis 4_critical_evaluation.tex:266), so
+both are valid serialisations.  Statistical equivalence is tested in
+tests/test_sarsa_wavefront.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rlrpt_tpu.camera import Camera
+from rlrpt_tpu.config import RadianceVolumeConfig, RenderConfig
+from rlrpt_tpu.integrators.wavefront import _primary_dirs
+from rlrpt_tpu.ops import hemisphere as hs
+from rlrpt_tpu.ops.intersect_pallas import closest_hit_packed, pack_triangles
+from rlrpt_tpu.radiance.grid_bucket import VolumeGrid, find_closest_volume_grid
+from rlrpt_tpu.radiance.volumes import (RadianceVolumes,
+                                        apply_sarsa_contributions,
+                                        irradiance_estimates, rebuild_cdf,
+                                        sample_from_cdf, sarsa_contributions)
+from rlrpt_tpu.scene.scene import Scene
+
+_INF_CUT = jnp.float32(1.0e38)
+
+#: Width divisor between cascaded drain phases and the narrowest phase run.
+_DRAIN_FACTOR = 4
+_MIN_DRAIN_W = 4096
+
+
+class _State(NamedTuple):
+    # --- per-slot, sliced at each drain step -----------------------------
+    o: jnp.ndarray            # (W, 3)
+    d: jnp.ndarray            # (W, 3)
+    tp: jnp.ndarray           # (W, 3)
+    pixel: jnp.ndarray        # (W,) int32 current pixel id
+    kmx: jnp.ndarray          # (W,) int32 pixel-multiplex index
+    bounce: jnp.ndarray       # (W,) int32
+    remaining: jnp.ndarray    # (W,) int32 samples left after current
+    active: jnp.ndarray       # (W,) bool
+    sample_rad: jnp.ndarray   # (W, 3) radiance of the slot's CURRENT sample
+    cur_vol: jnp.ndarray      # (W,) int32 volume awaiting a TD target
+    cur_sector: jnp.ndarray   # (W,) int32, -1 = no pending update
+    cur_brdf: jnp.ndarray     # (W,) f32 previous surface luminance / pi
+    # --- global -----------------------------------------------------------
+    image: jnp.ndarray        # (n_pix, 3) accumulated finished samples
+    irr: jnp.ndarray          # (V,) live per-volume irradiance estimates
+    path_sum: jnp.ndarray     # scalar f32
+    zclp: jnp.ndarray         # scalar int32 zero-contribution paths
+    iters: jnp.ndarray        # scalar int32
+    vols: RadianceVolumes
+
+
+_SLOT_FIELDS = ("o", "d", "tp", "pixel", "kmx", "bounce", "remaining",
+                "active", "sample_rad", "cur_vol", "cur_sector", "cur_brdf")
+
+
+def _compact(s: _State, wp: int) -> _State:
+    """Permute per-slot fields so live rays form a prefix."""
+    act = s.active
+    m = jnp.sum(act.astype(jnp.int32))
+    arange = jnp.arange(wp, dtype=jnp.int32)
+    slot_pos = jnp.where(act, jnp.cumsum(act) - 1, m + jnp.cumsum(~act) - 1)
+    perm_src = jnp.zeros((wp,), jnp.int32).at[slot_pos].set(arange)
+    return s._replace(**{f: getattr(s, f)[perm_src] for f in _SLOT_FIELDS})
+
+
+def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
+                                vols: RadianceVolumes, grid: VolumeGrid,
+                                cfg: RenderConfig, rl: RadianceVolumeConfig,
+                                pix_mux: int = 1, axis_name=None,
+                                interpret: bool = False):
+    """One frame of regenerative SARSA tracing (no CDF rebuild, no jit).
+
+    Returns (image_sum (n_pix,3) — SUM over spp, divide by spp for the
+    frame —, vols, path_sum, zclp, iters).  Under shard_map (`axis_name`
+    set) per-iteration Q contributions are psum'd so each device applies
+    the identical update to its replicated Q table, the loop condition is
+    made uniform across devices, and the drain cascade is disabled (its
+    trip counts would diverge per device).
+    """
+    n_pix = cfg.n_pixels
+    spp = cfg.samples_per_pixel
+    w0 = -(-n_pix // pix_mux)          # slots; slot s owns s + k*w0, k<mux
+    tris = pack_triangles(scene)
+    ns = scene.n_surfaces
+    two_pi_over_s = jnp.float32(2.0 * jnp.pi / vols.n_sectors)
+
+    k_init, k_loop = jax.random.split(key)
+
+    pix0 = jnp.arange(w0, dtype=jnp.int32)
+    in_image0 = pix0 < n_pix
+    d0 = _primary_dirs(k_init, pix0, camera, cfg)
+    o0 = jnp.broadcast_to(camera.position, d0.shape)
+    state = _State(
+        o=o0, d=d0, tp=jnp.ones((w0, 3), jnp.float32),
+        pixel=pix0, kmx=jnp.zeros((w0,), jnp.int32),
+        bounce=jnp.zeros((w0,), jnp.int32),
+        remaining=jnp.where(in_image0, spp - 1, 0).astype(jnp.int32),
+        active=in_image0,
+        sample_rad=jnp.zeros((w0, 3), jnp.float32),
+        cur_vol=jnp.zeros((w0,), jnp.int32),
+        cur_sector=jnp.full((w0,), -1, jnp.int32),
+        cur_brdf=jnp.zeros((w0,), jnp.float32),
+        image=jnp.zeros((n_pix, 3), jnp.float32),
+        irr=irradiance_estimates(vols),
+        path_sum=jnp.float32(0.0), zclp=jnp.int32(0), iters=jnp.int32(0),
+        vols=vols)
+
+    def make_body(wp: int):
+        arange_wp = jnp.arange(wp, dtype=jnp.int32)
+
+        def body(s: _State):
+            k_iter = jax.random.fold_in(k_loop, s.iters)
+            if cfg.russian_roulette:
+                k_dir, k_cam, k_rr = jax.random.split(k_iter, 3)
+            else:
+                k_dir, k_cam = jax.random.split(k_iter)
+
+            # ---- compaction: live rays to the front ----------------------
+            s = _compact(s, wp)
+            (o, d, tp, pixel, kmx, bounce, remaining, sample_rad, cur_vol,
+             cur_sector, cur_brdf) = (getattr(s, f) for f in _SLOT_FIELDS
+                                      if f != "active")
+            m = jnp.sum(s.active.astype(jnp.int32))
+            act = arange_wp < m
+
+            # ---- closest hit on the live prefix --------------------------
+            t, tri = closest_hit_packed(o, d, tris, m, interpret=interpret)
+            missed = act & (t >= _INF_CUT)
+            hit_light = act & ~missed & (tri >= ns)
+            hit_surface = act & ~missed & (tri < ns)
+            hit_pos = o + t[:, None] * d
+            normal = scene.normal[tri]
+
+            # ---- nearest volume at the new vertex (bucketed) --------------
+            next_vol = find_closest_volume_grid(grid, hit_pos, normal)
+
+            # ---- TD update of the previously chosen sector ----------------
+            # (ref: reinforcement_path_tracing.cu:69-78; targets per hit
+            #  type radiance_map.cu:111-146).  Bootstrap irradiance comes
+            #  from the carried live (V,) estimates (the ref maintains a
+            #  racy incremental accumulator, radiance_volume.cu:94-112).
+            target = jnp.where(
+                missed, cur_brdf * cfg.environment_light,
+                jnp.where(hit_light, cur_brdf * scene.luminance[tri],
+                          cur_brdf * s.irr[next_vol]))
+            pending = act & (cur_sector >= 0)
+            sum_t, cnt = sarsa_contributions(
+                cur_vol, jnp.maximum(cur_sector, 0), target, pending,
+                s.vols.n_volumes, s.vols.n_sectors)
+            if axis_name is not None:
+                sum_t = jax.lax.psum(sum_t, axis_name)
+                cnt = jax.lax.psum(cnt, axis_name)
+            vols_new = apply_sarsa_contributions(s.vols, sum_t, cnt,
+                                                 rl.radiance_threshold)
+            irr_new = irradiance_estimates(vols_new)
+
+            # ---- terminal contributions -----------------------------------
+            contrib = (jnp.where(missed[:, None],
+                                 tp * cfg.environment_light, 0.0)
+                       + jnp.where(hit_light[:, None],
+                                   tp * scene.emission[tri], 0.0))
+            sample_rad = sample_rad + contrib
+
+            # ---- importance-sample the next direction ---------------------
+            new_d, sector, pdf = sample_from_cdf(k_dir, vols_new, next_vol,
+                                                 rl.grid_rho)
+            cos_theta = jnp.sum(normal * new_d, axis=-1)
+            brdf3 = scene.diffuse_c[tri] / jnp.pi
+            pdf_safe = jnp.maximum(pdf, 1e-12)
+
+            exhausted = hit_surface & (bounce + 1 >= cfg.max_ray_bounces)
+            survive = hit_surface & ~exhausted
+            tp = jnp.where(survive[:, None],
+                           tp * brdf3 * (cos_theta / pdf_safe)[:, None], tp)
+
+            rr_killed = jnp.zeros_like(survive)
+            if cfg.russian_roulette:
+                p = jnp.clip(jnp.max(tp, axis=-1), cfg.rr_min_prob, 1.0)
+                do_rr = survive & (bounce + 1 >= cfg.rr_start_bounce)
+                rr_killed = do_rr & (jax.random.uniform(k_rr, (wp,)) >= p)
+                tp = jnp.where((do_rr & ~rr_killed)[:, None],
+                               tp / p[:, None], tp)
+                survive = survive & ~rr_killed
+
+            o = jnp.where(survive[:, None], hit_pos + cfg.eps * new_d, o)
+            d = jnp.where(survive[:, None], new_d, d)
+            bounce = jnp.where(survive, bounce + 1, bounce)
+
+            # Pending TD state for the next vertex (the sector just
+            # sampled; BRDF = this surface's luminance/pi,
+            # ref: reinforcement_path_tracing.cu:104-110).
+            cur_vol = jnp.where(survive, next_vol, cur_vol)
+            cur_sector = jnp.where(survive, sector, -1)
+            cur_brdf = jnp.where(survive,
+                                 scene.luminance[tri] / jnp.pi, cur_brdf)
+
+            # ---- stats for finished samples -------------------------------
+            done = missed | hit_light
+            fin = (bounce + 1).astype(jnp.float32)
+            path_sum = (s.path_sum
+                        + jnp.sum(jnp.where(done, fin, 0.0))
+                        + jnp.sum(jnp.where(exhausted,
+                                            jnp.float32(cfg.max_ray_bounces),
+                                            0.0))
+                        + jnp.sum(jnp.where(rr_killed, fin, 0.0)))
+            finished = act & ~survive
+            zero = finished & (jnp.mean(sample_rad, axis=-1)
+                               < cfg.throughput_threshold)
+            zclp = s.zclp + jnp.sum(zero.astype(jnp.int32))
+
+            # ---- flush finished samples to the image ----------------------
+            # Each pixel belongs to exactly one slot, so .add never
+            # collides within an iteration.
+            image = s.image.at[jnp.where(finished, pixel, n_pix - 1)].add(
+                jnp.where(finished[:, None], sample_rad, 0.0))
+
+            # ---- regeneration: next sample, else next multiplexed pixel ---
+            # Pixel stride stays w0 (the FULL slot count) in every phase.
+            next_pix = pixel + w0
+            step_k = (finished & (remaining <= 0) & (kmx + 1 < pix_mux)
+                      & (next_pix < n_pix))
+            pixel = jnp.where(step_k, next_pix, pixel)
+            kmx = jnp.where(step_k, kmx + 1, kmx)
+            remaining = jnp.where(step_k, spp, remaining)
+            regen = finished & (remaining > 0)
+            rd = _primary_dirs(k_cam, pixel, camera, cfg)
+            o = jnp.where(regen[:, None], camera.position[None, :], o)
+            d = jnp.where(regen[:, None], rd, d)
+            tp = jnp.where(regen[:, None], 1.0, tp)
+            sample_rad = jnp.where(regen[:, None], 0.0, sample_rad)
+            bounce = jnp.where(regen, 0, bounce)
+            remaining = jnp.where(regen, remaining - 1, remaining)
+            cur_sector = jnp.where(regen, -1, cur_sector)
+            active = survive | regen
+
+            return _State(o=o, d=d, tp=tp, pixel=pixel, kmx=kmx,
+                          bounce=bounce, remaining=remaining, active=active,
+                          sample_rad=sample_rad, cur_vol=cur_vol,
+                          cur_sector=cur_sector, cur_brdf=cur_brdf,
+                          image=image, irr=irr_new, path_sum=path_sum,
+                          zclp=zclp, iters=s.iters + 1, vols=vols_new)
+
+        return body
+
+    # Phase widths: w0, w0/4, w0/16, ... (floor _MIN_DRAIN_W).  Dead slots
+    # never revive (regeneration happens in the iteration a sample dies),
+    # so once live <= next width the sliced prefix carries ALL remaining
+    # work.  Disabled under shard_map: per-device trip counts would diverge.
+    widths = [w0]
+    if axis_name is None:
+        while widths[-1] // _DRAIN_FACTOR >= _MIN_DRAIN_W:
+            widths.append(widths[-1] // _DRAIN_FACTOR)
+
+    for i, wp in enumerate(widths):
+        last = i == len(widths) - 1
+        w_next = None if last else widths[i + 1]
+
+        def cond(s: _State, w_next=w_next):
+            live = jnp.sum(s.active.astype(jnp.int32))
+            flag = live > 0
+            if axis_name is not None:
+                flag = jax.lax.psum(flag.astype(jnp.int32), axis_name) > 0
+            if w_next is not None:
+                flag = flag & (live > w_next)
+            return flag
+
+        state = jax.lax.while_loop(cond, make_body(wp), state)
+        if not last:
+            state = _compact(state, wp)
+            state = state._replace(
+                **{f: getattr(state, f)[:w_next] for f in _SLOT_FIELDS})
+
+    return (state.image, state.vols, state.path_sum, state.zclp, state.iters)
+
+
+@partial(jax.jit, static_argnames=("cfg", "rl", "pix_mux", "interpret"))
+def render_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
+                                 vols: RadianceVolumes, grid: VolumeGrid,
+                                 cfg: RenderConfig, rl: RadianceVolumeConfig,
+                                 pix_mux: int = 1, interpret: bool = False):
+    """Render one frame while learning; returns (image, volumes, aux).
+
+    Drop-in fast replacement for reinforcement_tracer.render_frame_sarsa:
+    same aux keys (avg_path_length, zero_contribution_light_paths), same
+    per-frame CDF rebuild at the end (ref: main.cu:342-344).
+    """
+    image_sum, vols, path_sum, zclp, iters = trace_frame_sarsa_wavefront(
+        key, scene, camera, vols, grid, cfg, rl, pix_mux=pix_mux,
+        interpret=interpret)
+    vols = rebuild_cdf(vols, rl.distribution_threshold)
+    total = cfg.n_pixels * cfg.samples_per_pixel
+    img = (image_sum / cfg.samples_per_pixel).reshape(
+        cfg.height, cfg.width, 3)
+    aux = {"avg_path_length": path_sum / total,
+           "zero_contribution_light_paths": zclp,
+           "wavefront_iterations": iters}
+    return img, vols, aux

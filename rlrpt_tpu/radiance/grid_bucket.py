@@ -1,0 +1,160 @@
+"""Grid-bucketed nearest-radiance-volume search (the fast path).
+
+The reference prunes its KD walk to a fixed reach: both branches are only
+explored while delta^2 < MAX_DIST = 0.003 (radiance_map.cu:184-196,
+radiance_volumes_settings.h:15), i.e. candidates further than
+sqrt(0.003) ~ 0.055 world units across a split plane are never visited, and
+when nothing on the walked path passes the exact-normal filter it falls
+back to volume 0 (radiance_map.cu:163-166).  The search is therefore
+*bounded-reach approximate by design*.
+
+The dense argmin in nn_search.py is exact but O(V) per query — at the
+default volume density (V ~ 2.5e4 for cornell) it dominates the SARSA
+frame.  This module trades that for the same bounded-reach semantics the
+reference has, in a TPU-friendly shape:
+
+* build (host, once per volume set): hash volumes into a uniform grid over
+  the scene AABB; each cell stores the <= K candidates from its 3x3x3
+  neighbourhood, nearest-to-cell-centre first, as a PAYLOAD table
+  (C, K, 8) = [pos(3), normal(3), index, used-flag] so a query needs ONE
+  gather;
+* query (device): cell id per query point -> gather (N, K, 8) -> masked
+  argmin over K with the exact-normal-match filter (VPU, O(K) per query).
+
+Cell size defaults to the reference's pruning reach, so any candidate the
+reference could have reached is in the neighbourhood (up to the K cap,
+which replaces the reference's walk-order truncation).  Queries in empty
+neighbourhoods return volume 0, exactly the reference's fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlrpt_tpu.radiance.volumes import RadianceVolumes
+
+#: The reference's KD-walk reach: branches beyond sqrt(MAX_DIST) are pruned
+#: (radiance_map.cu:184-196, radiance_volumes_settings.h:15).
+REFERENCE_REACH = math.sqrt(0.003)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VolumeGrid:
+    """Uniform-grid candidate table for nearest-volume queries."""
+    payload: jnp.ndarray    # (C, K, 8) f32: pos(3) normal(3) index used
+    origin: jnp.ndarray     # (3,) f32 AABB lower corner
+    inv_cell: jnp.ndarray   # scalar f32, 1 / cell_size
+    dims: tuple = dataclasses.field(metadata=dict(static=True))  # (nx,ny,nz)
+    k_max: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _median_nn_distance(pos: np.ndarray, sample: int = 512,
+                        seed: int = 0) -> float:
+    """Median nearest-neighbour spacing of the volume cloud (sampled)."""
+    v = pos.shape[0]
+    if v < 2:
+        return 1.0
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(v, size=min(sample, v), replace=False)
+    d2 = np.sum((pos[idx, None, :] - pos[None, :, :]) ** 2, axis=-1)
+    d2[np.arange(len(idx)), idx] = np.inf
+    return float(np.median(np.sqrt(d2.min(axis=-1))))
+
+
+def build_volume_grid(vols: RadianceVolumes, cell_size: float | None = None,
+                      k_max: int = 64, margin: float = 1e-3) -> VolumeGrid:
+    """Host-side (numpy) construction of the per-cell candidate table.
+
+    cell_size defaults to max(REFERENCE_REACH, 3x the volume cloud's median
+    nearest-neighbour spacing), so one 3x3x3 neighbourhood covers both the
+    reference's pruning reach and — at any volume density — the distance to
+    a typical true nearest neighbour.  Each cell keeps the k_max candidates
+    nearest to its centre (the reference's counterpart is walk-order
+    truncation of the pruned tree).
+    """
+    pos = np.asarray(vols.position, np.float32)
+    nrm = np.asarray(vols.normal, np.float32)
+    v = pos.shape[0]
+    if cell_size is not None:
+        cell = float(cell_size)
+    else:
+        cell = max(REFERENCE_REACH, 3.0 * _median_nn_distance(pos))
+
+    lo = pos.min(axis=0) - margin
+    hi = pos.max(axis=0) + margin
+    dims = np.maximum(1, np.ceil((hi - lo) / cell).astype(np.int64))
+    nx, ny, nz = (int(dims[0]), int(dims[1]), int(dims[2]))
+    c = nx * ny * nz
+
+    coord = np.clip(((pos - lo) / cell).astype(np.int64), 0, dims - 1)
+
+    # Each volume is a candidate for its own cell and the 26 neighbours.
+    offs = np.array([(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+                     for k in (-1, 0, 1)], np.int64)          # (27, 3)
+    nco = coord[None, :, :] + offs[:, None, :]                # (27, V, 3)
+    ok = np.all((nco >= 0) & (nco < dims), axis=-1)           # (27, V)
+    cell_id = (nco[..., 0] * ny + nco[..., 1]) * nz + nco[..., 2]
+    centre = lo + (nco.astype(np.float32) + 0.5) * cell       # (27, V, 3)
+    d2 = np.sum((centre - pos[None, :, :]) ** 2, axis=-1)     # (27, V)
+
+    cid = cell_id[ok]
+    vid = np.broadcast_to(np.arange(v, dtype=np.int64), (27, v))[ok]
+    dist = d2[ok]
+
+    # Rank candidates within each cell by distance to the cell centre and
+    # keep the first k_max (vectorised group-top-K via lexsort).
+    order = np.lexsort((dist, cid))
+    cid, vid = cid[order], vid[order]
+    new_group = np.ones(len(cid), bool)
+    new_group[1:] = cid[1:] != cid[:-1]
+    starts = np.flatnonzero(new_group)
+    group_start = np.repeat(starts, np.diff(np.append(starts, len(cid))))
+    rank = np.arange(len(cid)) - group_start
+    keep = rank < k_max
+    cid, vid, rank = cid[keep], vid[keep], rank[keep]
+
+    payload = np.zeros((c, k_max, 8), np.float32)
+    payload[cid, rank, 0:3] = pos[vid]
+    payload[cid, rank, 3:6] = nrm[vid]
+    payload[cid, rank, 6] = vid.astype(np.float32)
+    payload[cid, rank, 7] = 1.0
+
+    return VolumeGrid(payload=jnp.asarray(payload),
+                      origin=jnp.asarray(lo, jnp.float32),
+                      inv_cell=jnp.float32(1.0 / cell),
+                      dims=(nx, ny, nz), k_max=k_max)
+
+
+def find_closest_volume_grid(grid: VolumeGrid, qpos: jnp.ndarray,
+                             qnorm: jnp.ndarray) -> jnp.ndarray:
+    """Nearest volume (normal-filtered) per query via the bucket table.
+
+    qpos, qnorm: (N, 3).  Returns (N,) int32 volume indices.  Same filter
+    rules as nn_search.find_closest_volume: exact-normal matches win by
+    distance; with no match among candidates the nearest candidate is
+    returned; with no candidates at all, volume 0 (the reference's
+    fallback, radiance_map.cu:163-166).
+    """
+    nx, ny, nz = grid.dims
+    co = jnp.clip(((qpos - grid.origin) * grid.inv_cell).astype(jnp.int32),
+                  0, jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32))
+    cell = (co[:, 0] * ny + co[:, 1]) * nz + co[:, 2]         # (N,)
+
+    cand = grid.payload[cell]                                 # (N, K, 8)
+    diff = cand[..., 0:3] - qpos[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)                        # (N, K)
+    match = jnp.all(cand[..., 3:6] == qnorm[:, None, :], axis=-1)
+    used = cand[..., 7] > 0.5
+    big = jnp.float32(1.0e12)
+    score = d2 + jnp.where(match, 0.0, big) + jnp.where(used, 0.0, 4.0 * big)
+    best = jnp.argmin(score, axis=-1)
+    idx = jnp.take_along_axis(cand[..., 6], best[:, None], axis=-1)[:, 0]
+    any_used = jnp.any(used, axis=-1)
+    return jnp.where(any_used, idx.astype(jnp.int32), 0)

@@ -71,9 +71,9 @@ def inject_volumes_into_scene(scene: Scene, vols: RadianceVolumes,
     v0, v1, v2, rgb = volumes_to_surfaces(vols, indices, diameter)
     ns = scene.n_surfaces
     return build_scene(
-        np.concatenate([np.asarray(scene.v0[:ns]), v0]),
-        np.concatenate([np.asarray(scene.v1[:ns]), v1]),
-        np.concatenate([np.asarray(scene.v2[:ns]), v2]),
-        np.concatenate([np.asarray(scene.diffuse_c[:ns]), rgb]),
-        np.asarray(scene.v0[ns:]), np.asarray(scene.v1[ns:]),
-        np.asarray(scene.v2[ns:]), np.asarray(scene.emission[ns:]))
+        np.concatenate([np.asarray(scene.v0)[:ns], v0]),
+        np.concatenate([np.asarray(scene.v1)[:ns], v1]),
+        np.concatenate([np.asarray(scene.v2)[:ns], v2]),
+        np.concatenate([np.asarray(scene.diffuse_c)[:ns], rgb]),
+        np.asarray(scene.v0)[ns:], np.asarray(scene.v1)[ns:],
+        np.asarray(scene.v2)[ns:], np.asarray(scene.emission)[ns:])

@@ -83,13 +83,13 @@ def build_radiance_volumes(scene: Scene, cfg: RadianceVolumeConfig,
     rng = np.random.default_rng(seed)
     counts = volume_counts(scene, cfg)
     ns = scene.n_surfaces
-    v0 = np.asarray(scene.v0[:ns], np.float64)
-    v1 = np.asarray(scene.v1[:ns], np.float64)
-    v2 = np.asarray(scene.v2[:ns], np.float64)
+    v0 = np.asarray(scene.v0, np.float64)[:ns]
+    v1 = np.asarray(scene.v1, np.float64)[:ns]
+    v2 = np.asarray(scene.v2, np.float64)[:ns]
     pos, tri_idx = sample_points_on_triangles(rng, v0, v1, v2, counts)
 
-    normals = np.asarray(scene.normal[:ns], np.float32)[tri_idx]
-    lum = np.asarray(scene.luminance[:ns], np.float32)[tri_idx]
+    normals = np.asarray(scene.normal, np.float32)[:ns][tri_idx]
+    lum = np.asarray(scene.luminance, np.float32)[:ns][tri_idx]
 
     v = len(pos)
     s = cfg.n_sectors
@@ -160,6 +160,43 @@ def sample_from_cdf(key, vols: RadianceVolumes, vol_idx: jnp.ndarray,
                                        axis=-1)[:, 0],
                    0.0)
     pdf = RHO * ((hi - lo) / grid_rho)
+    frames = vols.frame[vol_idx]
+    d = hs.sample_sector_direction(k2, sector, frames, vols.grid_resolution)
+    return d, sector, pdf
+
+
+def sample_from_cdf_bsearch(key, vols: RadianceVolumes, vol_idx: jnp.ndarray,
+                            grid_rho: float):
+    """sample_from_cdf without materialising the (N, S) CDF rows.
+
+    The row gather costs ~S x the useful traffic; a branchless binary search
+    over the FLAT (V*S,) CDF touches ceil(log2 S)+2 scalars per ray instead
+    (the reference device code also binary-searches its per-volume CDF,
+    radiance_volume.cu:192-217).  Identical distribution to sample_from_cdf;
+    the drawn uniforms match it bitwise (same split / same stream).
+    """
+    s = vols.n_sectors
+    n = vol_idx.shape[0]
+    flat = vols.cdf.reshape(-1)
+    base = vol_idx * s
+    k1, k2 = jax.random.split(key)
+    r = jax.random.uniform(k1, (n,), dtype=jnp.float32)
+
+    # Branchless lower-bound: after the loop, lo = #entries < r.
+    lo = jnp.zeros((n,), jnp.int32)
+    width = 1 << (s - 1).bit_length()             # next pow2 >= S
+    while width > 0:
+        mid = lo + width
+        ok = mid <= s
+        idx = base + jnp.minimum(mid, s) - 1
+        val = jnp.where(ok, flat[idx], jnp.float32(jnp.inf))
+        lo = jnp.where(val < r, jnp.minimum(mid, s), lo)
+        width >>= 1
+    sector = jnp.minimum(lo, s - 1).astype(jnp.int32)
+
+    hi = flat[base + sector]
+    prev = jnp.where(sector > 0, flat[base + jnp.maximum(sector - 1, 0)], 0.0)
+    pdf = RHO * ((hi - prev) / grid_rho)
     frames = vols.frame[vol_idx]
     d = hs.sample_sector_direction(k2, sector, frames, vols.grid_resolution)
     return d, sector, pdf

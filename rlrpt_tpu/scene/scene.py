@@ -107,10 +107,14 @@ def build_scene(
 
 
 def surface_areas(scene: Scene) -> np.ndarray:
-    """Areas of the surface triangles only (host numpy)."""
-    v0 = np.asarray(scene.v0[: scene.n_surfaces])
-    v1 = np.asarray(scene.v1[: scene.n_surfaces])
-    v2 = np.asarray(scene.v2[: scene.n_surfaces])
+    """Areas of the surface triangles only (host numpy).
+
+    Transfer first, slice second: slicing a device array eagerly compiles a
+    tiny XLA program per op, which on a tunnelled TPU costs seconds each.
+    """
+    v0 = np.asarray(scene.v0)[: scene.n_surfaces]
+    v1 = np.asarray(scene.v1)[: scene.n_surfaces]
+    v2 = np.asarray(scene.v2)[: scene.n_surfaces]
     return triangle_areas(v0, v1, v2)
 
 

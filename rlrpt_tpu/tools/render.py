@@ -13,6 +13,9 @@ Modes (reference mapping):
   sarsa         mode 1  (reinforcement_path_tracing.cu, learns while
                          rendering; --frames frames; saves Q-table with
                          --save-q)
+  sarsa-fast    `sarsa` on the regenerative wavefront + grid-bucketed NN
+                search (integrators/sarsa_wavefront.py); same learning
+                rule, ~10x faster at default volume density
   voronoi       mode 2  (voronoi_trace.cu)
   neural-q      mode 3  (neural_q_pathtracer.cu, online training)
   pretrained    mode 4  (pre_trained_pathtracer.cu; --model path)
@@ -44,8 +47,9 @@ from rlrpt_tpu.scene import presets
 from rlrpt_tpu.utils.image import write_bmp, write_png
 from rlrpt_tpu.utils.stats import StatsLogger
 
-MODES = ("default", "wavefront", "mega", "sarsa", "voronoi", "neural-q",
-         "pretrained", "q-probe", "importance", "precomputed", "distill")
+MODES = ("default", "wavefront", "mega", "sarsa", "sarsa-fast", "voronoi",
+         "neural-q", "pretrained", "q-probe", "importance", "precomputed",
+         "distill")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -74,6 +78,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="vertices.txt (distill mode)")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--precompute-spp", type=int, default=16)
+    p.add_argument("--pix-mux", type=int, default=4,
+                   help="pixels per wavefront slot (sarsa-fast)")
     p.add_argument("--russian-roulette", action="store_true")
     p.add_argument("--rr-start-bounce", type=int, default=3)
     p.add_argument("--rr-min-prob", type=float, default=0.05)
@@ -115,6 +121,8 @@ def main(argv=None) -> int:
             print(f"saved {args.save_model}")
         return 0
 
+    # Pallas kernels must run interpreted on the CPU backend.
+    interp = jax.default_backend() == "cpu"
     preset = presets.get(args.scene)
     scene = preset.load()
     camera = Camera.create(preset.camera_position)
@@ -128,10 +136,12 @@ def main(argv=None) -> int:
                     "(the megakernel has no RR path); use --mode default "
                     "or --mode wavefront")
             from rlrpt_tpu.ops.megakernel import render_default_mega
-            img, aux = render_default_mega(key, scene, camera, cfg)
+            img, aux = render_default_mega(key, scene, camera, cfg,
+                                           interpret=interp)
         elif args.mode == "wavefront":
             from rlrpt_tpu.integrators.wavefront import render_wavefront
-            img, aux = render_wavefront(key, scene, camera, cfg)
+            img, aux = render_wavefront(key, scene, camera, cfg,
+                                        interpret=interp)
         else:
             from rlrpt_tpu.integrators.default_tracer import render_default
             img, aux = render_default(key, scene, camera, cfg)
@@ -150,7 +160,7 @@ def main(argv=None) -> int:
         _save(img, args.out)
         return 0
 
-    if args.mode in ("sarsa", "importance", "precomputed"):
+    if args.mode in ("sarsa", "sarsa-fast", "importance", "precomputed"):
         from rlrpt_tpu.radiance import map_io
         from rlrpt_tpu.radiance.volumes import build_radiance_volumes
         vols = build_radiance_volumes(scene, rl)
@@ -161,13 +171,26 @@ def main(argv=None) -> int:
             from rlrpt_tpu.radiance.volumes import rebuild_cdf
             vols = rebuild_cdf(dataclasses.replace(vols, q=jnp.asarray(q)))
 
-        if args.mode == "sarsa":
-            from rlrpt_tpu.integrators.reinforcement_tracer import \
-                render_frame_sarsa
+        if args.mode in ("sarsa", "sarsa-fast"):
+            if args.mode == "sarsa-fast":
+                from rlrpt_tpu.integrators.sarsa_wavefront import \
+                    render_frame_sarsa_wavefront
+                from rlrpt_tpu.radiance.grid_bucket import build_volume_grid
+                grid = build_volume_grid(vols)
+
+                def frame(k, vols):
+                    return render_frame_sarsa_wavefront(
+                        k, scene, camera, vols, grid, cfg, rl,
+                        pix_mux=args.pix_mux, interpret=interp)
+            else:
+                from rlrpt_tpu.integrators.reinforcement_tracer import \
+                    render_frame_sarsa
+
+                def frame(k, vols):
+                    return render_frame_sarsa(k, scene, camera, vols, cfg, rl)
             stats = StatsLogger(args.stats) if args.stats else None
             for fr in range(args.frames):
-                img, vols, aux = render_frame_sarsa(
-                    jax.random.fold_in(key, fr), scene, camera, vols, cfg, rl)
+                img, vols, aux = frame(jax.random.fold_in(key, fr), vols)
                 print(f"frame {fr}: avg_path "
                       f"{float(aux['avg_path_length']):.2f}  zclp "
                       f"{int(aux['zero_contribution_light_paths'])}")
