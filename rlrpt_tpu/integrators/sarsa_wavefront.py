@@ -110,27 +110,36 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                                 vols: RadianceVolumes, grid: VolumeGrid,
                                 cfg: RenderConfig, rl: RadianceVolumeConfig,
                                 pix_mux: int = 1, axis_name=None,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                pix_lo=0, n_pix_local: int | None = None):
     """One frame of regenerative SARSA tracing (no CDF rebuild, no jit).
 
-    Returns (image_sum (n_pix,3) — SUM over spp, divide by spp for the
-    frame —, vols, path_sum, zclp, iters).  Under shard_map (`axis_name`
-    set) per-iteration Q contributions are psum'd so each device applies
-    the identical update to its replicated Q table, the loop condition is
-    made uniform across devices, and the drain cascade is disabled (its
-    trip counts would diverge per device).
+    Returns (image_sum (n_pix_local,3) — SUM over spp, divide by spp for
+    the frame —, vols, path_sum, zclp, iters).  Under shard_map
+    (`axis_name` set) per-iteration Q contributions are psum'd so each
+    device applies the identical update to its replicated Q table, the
+    loop condition is made uniform across devices, and the drain cascade
+    is disabled (its trip counts would diverge per device).
+
+    pix_lo / n_pix_local carve out the pixel range [pix_lo, pix_lo +
+    n_pix_local) for this shard (parallel.dp.render_frame_sarsa_
+    wavefront_dp gives each device a contiguous range); single-device
+    callers leave the defaults (the whole frame).  pix_lo may be traced
+    (e.g. derived from axis_index); n_pix_local must be static.
     """
     n_pix = cfg.n_pixels
+    n_local = n_pix if n_pix_local is None else n_pix_local
+    pix_lo = jnp.int32(pix_lo)
     spp = cfg.samples_per_pixel
-    w0 = -(-n_pix // pix_mux)          # slots; slot s owns s + k*w0, k<mux
+    w0 = -(-n_local // pix_mux)        # slots; slot s owns s + k*w0, k<mux
     tris = pack_triangles(scene)
     ns = scene.n_surfaces
     two_pi_over_s = jnp.float32(2.0 * jnp.pi / vols.n_sectors)
 
     k_init, k_loop = jax.random.split(key)
 
-    pix0 = jnp.arange(w0, dtype=jnp.int32)
-    in_image0 = pix0 < n_pix
+    pix0 = pix_lo + jnp.arange(w0, dtype=jnp.int32)
+    in_image0 = (pix0 < n_pix) & (pix0 < pix_lo + n_local)
     d0 = _primary_dirs(k_init, pix0, camera, cfg)
     o0 = jnp.broadcast_to(camera.position, d0.shape)
     state = _State(
@@ -143,7 +152,7 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
         cur_vol=jnp.zeros((w0,), jnp.int32),
         cur_sector=jnp.full((w0,), -1, jnp.int32),
         cur_brdf=jnp.zeros((w0,), jnp.float32),
-        image=jnp.zeros((n_pix, 3), jnp.float32),
+        image=jnp.zeros((n_local, 3), jnp.float32),
         irr=irradiance_estimates(vols),
         path_sum=jnp.float32(0.0), zclp=jnp.int32(0), iters=jnp.int32(0),
         vols=vols)
@@ -254,14 +263,15 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
             # ---- flush finished samples to the image ----------------------
             # Each pixel belongs to exactly one slot, so .add never
             # collides within an iteration.
-            image = s.image.at[jnp.where(finished, pixel, n_pix - 1)].add(
+            image = s.image.at[
+                jnp.where(finished, pixel - pix_lo, n_local - 1)].add(
                 jnp.where(finished[:, None], sample_rad, 0.0))
 
             # ---- regeneration: next sample, else next multiplexed pixel ---
             # Pixel stride stays w0 (the FULL slot count) in every phase.
             next_pix = pixel + w0
             step_k = (finished & (remaining <= 0) & (kmx + 1 < pix_mux)
-                      & (next_pix < n_pix))
+                      & (next_pix < n_pix) & (next_pix < pix_lo + n_local))
             pixel = jnp.where(step_k, next_pix, pixel)
             kmx = jnp.where(step_k, kmx + 1, kmx)
             remaining = jnp.where(step_k, spp, remaining)

@@ -11,4 +11,5 @@ as psum collectives inside shard_map.
 from rlrpt_tpu.parallel.mesh import make_mesh, ray_specs  # noqa: F401
 from rlrpt_tpu.parallel.dp import (render_default_dp,  # noqa: F401
                                    render_frame_sarsa_dp,
+                                   render_frame_sarsa_wavefront_dp,
                                    neural_q_train_step_dp)

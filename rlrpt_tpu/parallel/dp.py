@@ -153,6 +153,61 @@ def render_frame_sarsa_dp(key, scene: Scene, camera: Camera,
     return frame(key, vols)
 
 
+def render_frame_sarsa_wavefront_dp(key, scene: Scene, camera: Camera,
+                                    vols: RadianceVolumes, grid,
+                                    cfg: RenderConfig,
+                                    rl: RadianceVolumeConfig, mesh=None,
+                                    pix_mux: int = 4,
+                                    interpret: bool = False):
+    """Sharded fast SARSA frame (regenerative wavefront + bucketed NN).
+
+    Each device owns a contiguous pixel range and its own wavefront; the
+    per-iteration Q contributions are psum'd (identical replicated Q
+    update), and the loop condition is uniform so every device runs the
+    same trip count.  Returns (image, volumes, aux) like
+    integrators.sarsa_wavefront.render_frame_sarsa_wavefront.
+    """
+    from rlrpt_tpu.integrators.sarsa_wavefront import \
+        trace_frame_sarsa_wavefront
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    n_pix = cfg.n_pixels
+    n_local = -(-n_pix // n_dev)
+
+    @jax.jit
+    def frame(key, vols, grid):
+        def shard_fn(key, vols_r, grid_r):
+            i = jax.lax.axis_index(RAY_AXIS)
+            key = jax.random.fold_in(key, i)
+            img, vols_out, path_sum, zclp, iters = \
+                trace_frame_sarsa_wavefront(
+                    key, scene, camera, vols_r, grid_r, cfg, rl,
+                    pix_mux=pix_mux, axis_name=RAY_AXIS,
+                    interpret=interpret, pix_lo=i * n_local,
+                    n_pix_local=n_local)
+            path_sum = jax.lax.psum(path_sum, RAY_AXIS)
+            zclp = jax.lax.psum(zclp, RAY_AXIS)
+            return img, vols_out, path_sum, zclp, iters
+
+        traced = shard_map(shard_fn, mesh=mesh,
+                           in_specs=(P(), P(), P()),
+                           out_specs=(P(RAY_AXIS), P(), P(), P(), P()),
+                           check_vma=False)
+        img_sum, vols_out, path_sum, zclp, iters = traced(key, vols, grid)
+        img_sum = img_sum[:n_pix]
+        vols_out = rebuild_cdf(vols_out, rl.distribution_threshold)
+        total = n_pix * cfg.samples_per_pixel
+        img = (img_sum / cfg.samples_per_pixel).reshape(
+            cfg.height, cfg.width, 3)
+        aux = {"avg_path_length": path_sum / total,
+               "zero_contribution_light_paths": zclp,
+               "wavefront_iterations": iters}
+        return img, vols_out, aux
+
+    return frame(key, vols, grid)
+
+
 def neural_q_train_step_dp(key, scene: Scene, camera: Camera, params,
                            opt_state, epsilon, cfg: RenderConfig,
                            rl: RadianceVolumeConfig, dl: DeepLearningConfig,

@@ -74,3 +74,34 @@ def test_neural_q_train_step_dp_runs():
     assert float(loss) > 0.0
     assert not np.allclose(np.asarray(params.layers[0].w),
                            np.asarray(params2.layers[0].w))
+
+
+def test_sarsa_wavefront_dp_matches_single_device():
+    from rlrpt_tpu.integrators.sarsa_wavefront import \
+        render_frame_sarsa_wavefront
+    from rlrpt_tpu.parallel.dp import render_frame_sarsa_wavefront_dp
+    from rlrpt_tpu.radiance.grid_bucket import build_volume_grid
+
+    scene = cornell_box()
+    cam = Camera.create([0.0, 0.0, -3.0])
+    cfg = RenderConfig(width=24, height=24, samples_per_pixel=8,
+                       max_ray_bounces=8, ray_tile=1024)
+    vols = build_radiance_volumes(scene, _RL)
+    grid = build_volume_grid(vols)
+    img_dp, vols_dp, aux_dp = render_frame_sarsa_wavefront_dp(
+        jax.random.PRNGKey(0), scene, cam, vols, grid, cfg, _RL,
+        interpret=True)
+    img_1, vols_1, aux_1 = render_frame_sarsa_wavefront(
+        jax.random.PRNGKey(0), scene, cam, vols, grid, cfg, _RL,
+        interpret=True)
+    img_1b, _, _ = render_frame_sarsa_wavefront(
+        jax.random.PRNGKey(1), scene, cam, vols, grid, cfg, _RL,
+        interpret=True)
+    img_dp, img_1 = np.asarray(img_dp), np.asarray(img_1)
+    assert img_dp.shape == (24, 24, 3) and np.isfinite(img_dp).all()
+    noise = float(np.mean(np.abs(img_1 - np.asarray(img_1b))))
+    assert float(np.mean(np.abs(img_dp - img_1))) < 3.0 * noise + 1e-3
+    # learning happened and the replicated Q-table is identical per device
+    assert int(np.asarray(vols_dp.visits).sum()) > 0
+    q = jax.device_get(vols_dp.q)
+    assert np.isfinite(q).all()
