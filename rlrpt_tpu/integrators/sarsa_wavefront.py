@@ -80,6 +80,10 @@ class _State(NamedTuple):
     remaining: jnp.ndarray    # (W,) int32 samples left after current
     active: jnp.ndarray       # (W,) bool
     sample_rad: jnp.ndarray   # (W, 3) radiance of the slot's CURRENT sample
+    slot_rad: jnp.ndarray     # (W, pix_mux, 3) finished-sample radiance of
+                              # the slot's k-th pixel (flushed to `image`
+                              # only at drain boundaries — a per-iteration
+                              # pixel scatter serialises on TPU)
     cur_vol: jnp.ndarray      # (W,) int32 volume awaiting a TD target
     cur_sector: jnp.ndarray   # (W,) int32, -1 = no pending update
     cur_brdf: jnp.ndarray     # (W,) f32 previous surface luminance / pi
@@ -93,7 +97,8 @@ class _State(NamedTuple):
 
 
 _SLOT_FIELDS = ("o", "d", "tp", "pixel", "kmx", "bounce", "remaining",
-                "active", "sample_rad", "cur_vol", "cur_sector", "cur_brdf")
+                "active", "sample_rad", "slot_rad", "cur_vol", "cur_sector",
+                "cur_brdf")
 
 
 def _compact(s: _State, wp: int) -> _State:
@@ -149,6 +154,7 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
         remaining=jnp.where(in_image0, spp - 1, 0).astype(jnp.int32),
         active=in_image0,
         sample_rad=jnp.zeros((w0, 3), jnp.float32),
+        slot_rad=jnp.zeros((w0, pix_mux, 3), jnp.float32),
         cur_vol=jnp.zeros((w0,), jnp.int32),
         cur_sector=jnp.full((w0,), -1, jnp.int32),
         cur_brdf=jnp.zeros((w0,), jnp.float32),
@@ -169,9 +175,10 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
 
             # ---- compaction: live rays to the front ----------------------
             s = _compact(s, wp)
-            (o, d, tp, pixel, kmx, bounce, remaining, sample_rad, cur_vol,
-             cur_sector, cur_brdf) = (getattr(s, f) for f in _SLOT_FIELDS
-                                      if f != "active")
+            (o, d, tp, pixel, kmx, bounce, remaining, sample_rad, slot_rad,
+             cur_vol, cur_sector, cur_brdf) = (getattr(s, f)
+                                               for f in _SLOT_FIELDS
+                                               if f != "active")
             m = jnp.sum(s.active.astype(jnp.int32))
             act = arange_wp < m
 
@@ -260,12 +267,14 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                                < cfg.throughput_threshold)
             zclp = s.zclp + jnp.sum(zero.astype(jnp.int32))
 
-            # ---- flush finished samples to the image ----------------------
-            # Each pixel belongs to exactly one slot, so .add never
-            # collides within an iteration.
-            image = s.image.at[
-                jnp.where(finished, pixel - pix_lo, n_local - 1)].add(
-                jnp.where(finished[:, None], sample_rad, 0.0))
+            # ---- bank finished samples into the slot's per-k row ----------
+            # (elementwise one-hot madd; the image pixel scatter happens
+            # only at drain boundaries / end of frame)
+            ksel = (jax.lax.broadcasted_iota(jnp.int32, (wp, pix_mux), 1)
+                    == kmx[:, None]).astype(jnp.float32)
+            slot_rad = slot_rad + (ksel[:, :, None]
+                                   * jnp.where(finished[:, None], sample_rad,
+                                               0.0)[:, None, :])
 
             # ---- regeneration: next sample, else next multiplexed pixel ---
             # Pixel stride stays w0 (the FULL slot count) in every phase.
@@ -288,12 +297,25 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
 
             return _State(o=o, d=d, tp=tp, pixel=pixel, kmx=kmx,
                           bounce=bounce, remaining=remaining, active=active,
-                          sample_rad=sample_rad, cur_vol=cur_vol,
-                          cur_sector=cur_sector, cur_brdf=cur_brdf,
-                          image=image, irr=irr_new, path_sum=path_sum,
-                          zclp=zclp, iters=s.iters + 1, vols=vols_new)
+                          sample_rad=sample_rad, slot_rad=slot_rad,
+                          cur_vol=cur_vol, cur_sector=cur_sector,
+                          cur_brdf=cur_brdf, image=s.image, irr=irr_new,
+                          path_sum=path_sum, zclp=zclp, iters=s.iters + 1,
+                          vols=vols_new)
 
         return body
+
+    def _flush(image, pixel, kmx, slot_rad):
+        """Scatter banked per-slot radiance rows into the image (one add
+        per flushed slot-pixel; slot s0's k-th pixel is pix_lo + s0 + k*w0,
+        and s0 is recoverable from the slot's CURRENT pixel/kmx)."""
+        s0 = pixel - pix_lo - kmx * w0                       # (n,)
+        ks = jnp.arange(pix_mux, dtype=jnp.int32)[None, :]
+        idx = s0[:, None] + ks * w0                          # (n, mux)
+        valid = (idx >= 0) & (idx < n_local)
+        flat = jnp.where(valid, idx, n_local).reshape(-1)
+        data = jnp.where(valid[..., None], slot_rad, 0.0).reshape(-1, 3)
+        return image.at[flat].add(data, mode="drop")
 
     # Phase widths: w0, w0/4, w0/16, ... (floor _MIN_DRAIN_W).  Dead slots
     # never revive (regeneration happens in the iteration a sample dies),
@@ -320,10 +342,17 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
         state = jax.lax.while_loop(cond, make_body(wp), state)
         if not last:
             state = _compact(state, wp)
+            # The tail [w_next:] is all-dead (live <= w_next and live rays
+            # are compacted to the front) — flush its banked radiance
+            # before slicing it away.
+            image = _flush(state.image, state.pixel[w_next:],
+                           state.kmx[w_next:], state.slot_rad[w_next:])
             state = state._replace(
+                image=image,
                 **{f: getattr(state, f)[:w_next] for f in _SLOT_FIELDS})
 
-    return (state.image, state.vols, state.path_sum, state.zclp, state.iters)
+    image = _flush(state.image, state.pixel, state.kmx, state.slot_rad)
+    return (image, state.vols, state.path_sum, state.zclp, state.iters)
 
 
 @partial(jax.jit, static_argnames=("cfg", "rl", "pix_mux", "interpret"))

@@ -52,6 +52,12 @@ PI = math.pi
 R_TILE = 2048      # rays (lanes) per grid step
 T_CHUNK = 256      # max triangles per matmul chunk (sublanes)
 
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
 
 def _t_pad(n_tris: int) -> int:
     t8 = max(8, int(math.ceil(n_tris / 8) * 8))
@@ -175,7 +181,8 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, out_ref,
                  t_pad: int, n_chunks: int, t_chunk: int, r_tile: int,
                  width: int, height: int, focal: float, n_pix: int,
                  spp: int, max_bounces: int, env: float, eps: float,
-                 pix_mux: int, n_slots: int):
+                 pix_mux: int, n_slots: int,
+                 precision=jax.lax.Precision.HIGHEST, unroll: int = 2):
     tile = pl.program_id(0)
     seed = seed_ref[0]
 
@@ -255,7 +262,7 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, out_ref,
             q = jax.lax.dot_general(
                 g_ref[pl.ds(4 * c * t_chunk, 4 * t_chunk), :], f,
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # (4*t_chunk, r)
+                precision=precision)                      # (4*t_chunk, r)
             det = q[0 * t_chunk:1 * t_chunk]
             up = q[1 * t_chunk:2 * t_chunk]
             vp = q[2 * t_chunk:3 * t_chunk]
@@ -280,7 +287,7 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, out_ref,
             mat = jax.lax.dot_general(
                 mtbl_ref[:, :], onehot,
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=precision)
             return best_t, mat
 
         # Multi-chunk: ONE streaming pass with a running argmin — each
@@ -301,7 +308,7 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, out_ref,
             mat_c = jax.lax.dot_general(
                 mtbl_ref[:, pl.ds(c * t_chunk, t_chunk)], onehot,
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=precision)
             better = cmin < best_t                          # (1, r)
             mat = jnp.where(better, mat_c, mat)
             best_t = jnp.minimum(best_t, cmin)
@@ -446,12 +453,14 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, out_ref,
         return it1, act
 
     def body(carry):
-        # 2x unrolled: the while condition forces a vector->scalar
-        # reduction + SMEM sync per trip; amortise it over two bounces
-        # (the extra half-step after global drain is idle-lane work only).
-        it1, _ = step(carry[0])
-        it2, act = step(it1)
-        return (it2, jnp.sum(act.astype(jnp.int32)))
+        # `unroll`x unrolled: the while condition forces a vector->scalar
+        # reduction + SMEM sync per trip; amortise it over several bounces
+        # (the extra steps after global drain are idle-lane work only).
+        it = carry[0]
+        act = None
+        for _ in range(unroll):
+            it, act = step(it)
+        return (it, jnp.sum(act.astype(jnp.int32)))
 
     final = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.sum(in_image0.astype(jnp.int32))))
@@ -467,10 +476,12 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, out_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "r_tile", "pix_mux", "interpret"))
+                   static_argnames=("cfg", "r_tile", "pix_mux", "interpret",
+                                    "precision", "unroll"))
 def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
                         r_tile: int = R_TILE, pix_mux: int = 8,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        precision: str = "highest", unroll: int = 2):
     """Render a frame with the megakernel; returns (image (H,W,3), aux).
 
     Same estimator as integrators.default_tracer.render_default
@@ -505,7 +516,8 @@ def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
         r_tile=r_tile, width=cfg.width, height=cfg.height, focal=cfg.focal,
         n_pix=n_pix, spp=cfg.samples_per_pixel,
         max_bounces=cfg.max_ray_bounces, env=cfg.environment_light,
-        eps=cfg.eps, pix_mux=pix_mux, n_slots=n_slots)
+        eps=cfg.eps, pix_mux=pix_mux, n_slots=n_slots,
+        precision=_PRECISIONS[precision], unroll=unroll)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
