@@ -52,11 +52,24 @@ PI = math.pi
 R_TILE = 2048      # rays (lanes) per grid step
 T_CHUNK = 256      # max triangles per matmul chunk (sublanes)
 
+#: Matmul precision modes for the intersection sweep.  "highest" = 6-pass
+#: bf16 (f32-exact), "default" = 1 native bf16 pass (fast, ~4e-3 relative
+#: error — visibly biased at edges), "high3" = MANUAL 3-pass compensated
+#: bf16 (hi/lo split of both operands, dropping only the lo*lo term:
+#: ~1.5e-5 relative, the classic Precision.HIGH algorithm, which Mosaic
+#: does not expose — "Unsupported dot precision: HIGH").
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
+    "high3": None,  # handled structurally (compensated operands)
     "highest": jax.lax.Precision.HIGHEST,
 }
+
+
+def _split_bf16(a: jnp.ndarray):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~ a (16-bit mantissa)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def _t_pad(n_tris: int) -> int:
@@ -174,7 +187,8 @@ def _uniform(seed, pix, it, stream: int):
         * jnp.float32(1.0 / 16777216.0)
 
 
-def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, out_ref,
+def _mega_kernel(seed_ref, cam_ref, g_ref, g_lo_ref, mtbl_ref, mtbl_lo_ref,
+                 out_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                  tr_ref, tg_ref, tb_ref, ps_ref,
                  bn_ref, rm_ref, ac_ref, px_ref, km_ref, sa_ref, *,
@@ -182,7 +196,8 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, out_ref,
                  width: int, height: int, focal: float, n_pix: int,
                  spp: int, max_bounces: int, env: float, eps: float,
                  pix_mux: int, n_slots: int,
-                 precision=jax.lax.Precision.HIGHEST, unroll: int = 2):
+                 precision=jax.lax.Precision.HIGHEST, unroll: int = 2,
+                 compensated: bool = False):
     tile = pl.program_id(0)
     seed = seed_ref[0]
 
@@ -251,6 +266,46 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, out_ref,
             oz * dx, oz * dy, oz * dz,
             one,
         ], axis=0)                                        # (16, r)
+        if compensated:
+            f_hi, f_lo = _split_bf16(f)
+
+        def mt_dot(c):
+            ds = pl.ds(4 * c * t_chunk, 4 * t_chunk)
+            if compensated:
+                # 3-pass compensated bf16: G ~ Gh + Gl, f ~ fh + fl;
+                # q = Gh fh + Gh fl + Gl fh (the dropped Gl*fl term is
+                # ~2^-16 relative) — each pass a native-rate bf16 matmul.
+                gh = g_ref[ds, :]
+                return (jax.lax.dot_general(
+                            gh, f_hi, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                            gh, f_lo, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                            g_lo_ref[ds, :], f_hi, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))
+            return jax.lax.dot_general(
+                g_ref[ds, :], f,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=precision)                      # (4*t_chunk, r)
+
+        def mat_dot(onehot, c):
+            ds = pl.ds(c * t_chunk, t_chunk)
+            if compensated:
+                # One-hot entries are exact in bf16; hi+lo recovers the
+                # f32 material rows to rounding.
+                oh = onehot.astype(jnp.bfloat16)
+                return (jax.lax.dot_general(
+                            mtbl_ref[:, ds], oh, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                            mtbl_lo_ref[:, ds], oh, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))
+            return jax.lax.dot_general(
+                mtbl_ref[:, ds], onehot,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=precision)
 
         def chunk_tt(c):
             """Per-triangle hit distance (INF when no hit) for chunk c.
@@ -259,10 +314,7 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, out_ref,
             is subsumed: it forces tq*det == 0 which fails the > 0 test);
             the div-by-zero inf/nan is discarded by the where.
             """
-            q = jax.lax.dot_general(
-                g_ref[pl.ds(4 * c * t_chunk, 4 * t_chunk), :], f,
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=precision)                      # (4*t_chunk, r)
+            q = mt_dot(c)
             det = q[0 * t_chunk:1 * t_chunk]
             up = q[1 * t_chunk:2 * t_chunk]
             vp = q[2 * t_chunk:3 * t_chunk]
@@ -284,11 +336,7 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, out_ref,
             tt = chunk_tt(0)
             best_t = jnp.min(tt, axis=0, keepdims=True)
             onehot = ((tt == best_t) & (best_t < INF)).astype(jnp.float32)
-            mat = jax.lax.dot_general(
-                mtbl_ref[:, :], onehot,
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=precision)
-            return best_t, mat
+            return best_t, mat_dot(onehot, 0)
 
         # Multi-chunk: ONE streaming pass with a running argmin — each
         # chunk resolves its own local winner (one-hot against the CHUNK
@@ -305,10 +353,7 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, out_ref,
             tt = chunk_tt(c)
             cmin = jnp.min(tt, axis=0, keepdims=True)      # (1, r)
             onehot = ((tt == cmin) & (cmin < INF)).astype(jnp.float32)
-            mat_c = jax.lax.dot_general(
-                mtbl_ref[:, pl.ds(c * t_chunk, t_chunk)], onehot,
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=precision)
+            mat_c = mat_dot(onehot, c)
             better = cmin < best_t                          # (1, r)
             mat = jnp.where(better, mat_c, mat)
             best_t = jnp.minimum(best_t, cmin)
@@ -498,6 +543,15 @@ def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
     t_chunk = min(t_pad, T_CHUNK)
     n_chunks = t_pad // t_chunk
 
+    compensated = precision == "high3"
+    if compensated:
+        g, g_lo = _split_bf16(g)
+        mtbl, mtbl_lo = _split_bf16(mtbl)
+    else:
+        # Unused in the kernel; same shapes keep ONE pallas_call structure.
+        g_lo = jnp.zeros(g.shape, jnp.bfloat16)
+        mtbl_lo = jnp.zeros(mtbl.shape, jnp.bfloat16)
+
     n_slots = int(math.ceil(n_pix / pix_mux / r_tile) * r_tile)
     n_tiles = n_slots // r_tile
     out_rows = int(math.ceil((3 * pix_mux + 2) / 8) * 8)
@@ -517,7 +571,8 @@ def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
         n_pix=n_pix, spp=cfg.samples_per_pixel,
         max_bounces=cfg.max_ray_bounces, env=cfg.environment_light,
         eps=cfg.eps, pix_mux=pix_mux, n_slots=n_slots,
-        precision=_PRECISIONS[precision], unroll=unroll)
+        precision=_PRECISIONS[precision], unroll=unroll,
+        compensated=compensated)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -526,6 +581,10 @@ def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
             pl.BlockSpec((1, 8), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * t_pad, 16), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * t_pad, 16), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, t_pad), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, t_pad), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -547,7 +606,7 @@ def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
                 t_pad * 140 + 300),
             transcendentals=int(n_pix) * cfg.samples_per_pixel * 10 * 4,
             bytes_accessed=(out_rows * n_slots + 65 * t_pad) * 4),
-    )(seed, cam, g, mtbl)
+    )(seed, cam, g, g_lo, mtbl, mtbl_lo)
 
     k = pix_mux
     # pixel p = slot + k*n_slots lives at out[c*k + p//n_slots, p%n_slots]

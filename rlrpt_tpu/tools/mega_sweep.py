@@ -50,6 +50,11 @@ def run_variant(scene, cam, cfg, key, r_tile, pix_mux, precision, unroll,
     for i in range(2):
         img, aux = render(jax.random.fold_in(key, 1000 + i))
     img0 = np.asarray(img)  # variant image at fold_in(key, 1001)
+    # Lane utilisation: traced segments / (iterations x slot-lanes).
+    import math
+    n_slots = int(math.ceil(cfg.n_pixels / pix_mux / r_tile) * r_tile)
+    segs = float(aux["avg_path_length"]) * cfg.n_pixels * cfg.samples_per_pixel
+    util = segs / (float(aux["wavefront_iterations"]) * n_slots)
 
     best_rps = 0.0
     for trial in range(3):
@@ -65,7 +70,7 @@ def run_variant(scene, cam, cfg, key, r_tile, pix_mux, precision, unroll,
         rays = sum(float(a) for a in auxes) * cfg.n_pixels \
             * cfg.samples_per_pixel
         best_rps = max(best_rps, rays / dt)
-    return best_rps, img0
+    return best_rps, img0, util
 
 
 def main(argv=None):
@@ -88,8 +93,8 @@ def main(argv=None):
         rt, pm, prec, un = spec.split(",")
         rt, pm, un = int(rt), int(pm), int(un)
         try:
-            rps, img = run_variant(scene, cam, cfg, key, rt, pm, prec, un,
-                                   args.repeats)
+            rps, img, util = run_variant(scene, cam, cfg, key, rt, pm, prec,
+                                         un, args.repeats)
         except Exception as e:  # noqa: BLE001 — report and keep sweeping
             print(json.dumps({"variant": spec, "error": str(e)[:200]}))
             continue
@@ -102,6 +107,7 @@ def main(argv=None):
         print(json.dumps({
             "variant": spec,
             "rays_per_sec": round(rps, 1),
+            "lane_util": round(util, 4),
             "mape_vs_f32": None if mape is None else round(mape, 6),
         }), flush=True)
 

@@ -29,15 +29,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _probe(out):
+    """A scalar data-dependent on `out` (1-element slice per leaf)."""
+    leaves = jax.tree_util.tree_leaves(out)
+    return sum(jnp.ravel(l)[0].astype(jnp.float32) for l in leaves)
+
+
 def timeit(fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # chain nothing: each rep re-dispatches; fence via one final fetch
+    """Over the axon tunnel block_until_ready can return while work is
+    still queued — the only reliable fence is a host materialisation.
+    Chain a 1-element probe of every rep into one scalar and fetch it
+    once; the probe's device cost is negligible, the single round-trip
+    amortises over reps."""
+    float(_probe(fn(*args)))                     # warm-up + flush queue
     t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(reps)]
-    jax.block_until_ready(outs[-1])
-    for o in outs:
-        jax.block_until_ready(o)
+    acc = jnp.float32(0.0)
+    for _ in range(reps):
+        acc = acc + _probe(fn(*args))
+    float(acc)
     return (time.perf_counter() - t0) / reps
 
 
@@ -78,8 +87,8 @@ def main(argv=None):
     def sort_seg(f, tgt, msk):
         ff = jnp.where(msk, f, vs)
         ww = msk.astype(jnp.float32)
-        d = jnp.stack([tgt * ww, ww], axis=-1)
-        sf, sd = jax.lax.sort_key_val(ff, d, dimension=0)
+        sf, sa, sb = jax.lax.sort((ff, tgt * ww, ww), dimension=0, num_keys=1)
+        sd = jnp.stack([sa, sb], axis=-1)
         return jax.ops.segment_sum(sd, sf, num_segments=vs + 1,
                                    indices_are_sorted=True)[:-1]
 
@@ -176,7 +185,7 @@ def main(argv=None):
 
     @jax.jit
     def sort_kv(f, vals):
-        return jax.lax.sort_key_val(f, vals, dimension=0)
+        return jax.lax.sort((f, vals), dimension=0, num_keys=1)
 
     res["sort_kv_ms"] = timeit(sort_kv, f, vals, reps=args.reps) * 1e3
 
