@@ -17,9 +17,11 @@ integrators.wavefront re-organises the default tracer:
   straggler tail (up to bounce_cap iterations) runs at 1/4 .. 1/16 of the
   full iteration cost instead of full width (dead slots never revive, so
   the live set is exactly the remaining work);
-* compaction each iteration packs live rays to the front so the Pallas
-  closest-hit kernel only sweeps ceil(live / tile) tiles and the drain
-  slice is exact;
+* compaction happens ONLY at drain boundaries (to make the slice exact):
+  permuting the 13 slot fields costs ~13 (W,) gathers + a scatter-set,
+  measured ~70 ms at W = 518400 on a v5e — 13x the full-width closest-hit
+  sweep per-iteration compaction would save.  Between boundaries the hit
+  kernel sweeps up to the last live lane;
 * the nearest-volume query is the grid-bucketed bounded-reach search
   (radiance.grid_bucket), O(K) per ray instead of the dense O(V) argmin —
   the dense search alone costs more per bounce than the entire default
@@ -164,7 +166,6 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
         vols=vols)
 
     def make_body(wp: int):
-        arange_wp = jnp.arange(wp, dtype=jnp.int32)
 
         def body(s: _State):
             k_iter = jax.random.fold_in(k_loop, s.iters)
@@ -173,16 +174,23 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
             else:
                 k_dir, k_cam = jax.random.split(k_iter)
 
-            # ---- compaction: live rays to the front ----------------------
-            s = _compact(s, wp)
+            # NO per-iteration compaction: permuting the 13 slot fields
+            # costs ~13 (W,) gathers + a scatter-set — measured ~70 ms at
+            # W = 518400 on a v5e, 13x the full-width closest-hit sweep it
+            # would save.  Live rays stay in place; the drain cascade (which
+            # compacts ONCE at each boundary) handles the end-of-frame tail.
             (o, d, tp, pixel, kmx, bounce, remaining, sample_rad, slot_rad,
              cur_vol, cur_sector, cur_brdf) = (getattr(s, f)
                                                for f in _SLOT_FIELDS
                                                if f != "active")
-            m = jnp.sum(s.active.astype(jnp.int32))
-            act = arange_wp < m
+            act = s.active
+            # Tile skipping for the hit kernel still works when the live
+            # set has a dead TAIL (post-drain state): sweep up to the last
+            # live lane.
+            m = wp - jnp.argmax(jnp.flip(act))
+            m = jnp.where(jnp.any(act), m, 0).astype(jnp.int32)
 
-            # ---- closest hit on the live prefix --------------------------
+            # ---- closest hit up to the last live lane ---------------------
             t, tri = closest_hit_packed(o, d, tris, m, interpret=interpret)
             missed = act & (t >= _INF_CUT)
             hit_light = act & ~missed & (tri >= ns)

