@@ -43,6 +43,11 @@ REFERENCE_RAYS_PER_SEC_ESTIMATE = 1.0e8
 # v5e chip: 1024/32 beat 2048/{4,8,16} and 1024/64).
 R_TILE = 1024
 PIX_MUX = 32
+# Intersection precision: 3-pass compensated-bf16 ("high3") — halves MXU
+# passes vs the 6-pass HIGHEST emulation with estimator bias at the MC
+# noise floor (tools/precision_check.py: +0.13% vs f32's +0.40% at equal
+# budget; the kernel is MXU-pass-bound, commit 7c85a7a).
+PRECISION = "high3"
 
 
 def main():
@@ -56,7 +61,8 @@ def main():
 
     def render(k):
         return render_default_mega(k, scene, cam, cfg,
-                                   r_tile=R_TILE, pix_mux=PIX_MUX)
+                                   r_tile=R_TILE, pix_mux=PIX_MUX,
+                                   precision=PRECISION)
 
     # Warm-up: compile + a few executions (the tunnelled chip's first
     # dispatches after process start are slow; time only the steady state).

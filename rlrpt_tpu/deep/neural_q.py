@@ -154,12 +154,17 @@ def sample_directions(key, qs, state: NeuralQState, epsilon,
 
 
 def trace_step(state: NeuralQState, scene: Scene, bounce,
-               cfg: RenderConfig, dl: DeepLearningConfig):
+               cfg: RenderConfig, dl: DeepLearningConfig, hit_fn=None):
     """trace_ray for the whole wavefront (ref: neural_q_pathtracer.cu:646-752).
 
+    `hit_fn(o, d) -> Hit` overrides the closest-hit implementation (the
+    frame renderers pass the Pallas VMEM kernel, the same fast path the
+    SARSA wavefront uses; default is the XLA sweep).
     Returns (new_state, any_active_surface_hit)."""
-    hit = closest_hit(state.loc + cfg.eps * state.direction, state.direction,
-                      scene, ray_tile=cfg.ray_tile)
+    if hit_fn is None:
+        hit_fn = lambda o, d: closest_hit(o, d, scene,  # noqa: E731
+                                          ray_tile=cfg.ray_tile)
+    hit = hit_fn(state.loc + cfg.eps * state.direction, state.direction)
     is_nothing = hit.hit_type == NOTHING
     is_light = hit.hit_type == AREA_LIGHT
     is_surface = hit.hit_type == SURFACE
@@ -284,9 +289,23 @@ class _BounceCarry(NamedTuple):
     go: jnp.ndarray
 
 
+def _make_hit_fn(scene: Scene, cfg: RenderConfig, use_pallas: bool,
+                 interpret: bool):
+    """Closest-hit implementation for a frame: the Pallas VMEM kernel
+    (packing the triangle table once) or the XLA fallback."""
+    if not use_pallas:
+        return lambda o, d: closest_hit(o, d, scene, ray_tile=cfg.ray_tile)
+    from rlrpt_tpu.ops.intersect_pallas import (closest_hit_pallas,
+                                                pack_triangles)
+    tris = pack_triangles(scene)
+    return lambda o, d: closest_hit_pallas(o, d, scene, tris,
+                                           interpret=interpret)
+
+
 def _trace_sample(key, scene, camera, params, opt_state, optimizer, epsilon,
                   cfg: RenderConfig, rl: RadianceVolumeConfig,
-                  dl: DeepLearningConfig, axis_name=None, rays=None):
+                  dl: DeepLearningConfig, axis_name=None, rays=None,
+                  hit_fn=None):
     """One spp sample: bounce loop with online training.
 
     Returns (final ray state, params, opt_state, summed loss).
@@ -318,7 +337,8 @@ def _trace_sample(key, scene, camera, params, opt_state, optimizer, epsilon,
         state = jax.lax.cond(c.bounce > 0, sample_branch, lambda s: s, state)
 
         # -- 2. trace.
-        state, any_active_surface = trace_step(state, scene, c.bounce, cfg, dl)
+        state, any_active_surface = trace_step(state, scene, c.bounce, cfg,
+                                               dl, hit_fn=hit_fn)
         if axis_name is not None:
             any_active_surface = jax.lax.psum(
                 any_active_surface.astype(jnp.int32), axis_name) > 0
@@ -351,29 +371,48 @@ def _trace_sample(key, scene, camera, params, opt_state, optimizer, epsilon,
     return final.state, final.params, final.opt_state, final.loss
 
 
-@partial(jax.jit, static_argnames=("cfg", "rl", "dl"))
 def render_frame_neural_q(key, scene: Scene, camera: Camera,
                           params: DQNetworkParams, opt_state, epsilon,
                           cfg: RenderConfig, rl: RadianceVolumeConfig,
-                          dl: DeepLearningConfig):
+                          dl: DeepLearningConfig, use_pallas: bool = True,
+                          interpret: bool | None = None):
     """Render one frame with online neural-Q training.
 
     Returns (image (H,W,3), params, opt_state, epsilon, aux) where aux holds
     per-sample stats arrays matching the reference's nn_training_stats.txt
     lines `avg_path_length loss zero_contribution_paths`
     (ref: neural_q_pathtracer.cu:577-583).
+
+    The closest-hit sweep runs in the Pallas VMEM kernel by default
+    (interpret mode auto-selected on the CPU backend); use_pallas=False
+    falls back to the XLA sweep.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _render_frame_neural_q(key, scene, camera, params, opt_state,
+                                  epsilon, cfg, rl, dl, use_pallas,
+                                  interpret)
+
+
+@partial(jax.jit, static_argnames=("cfg", "rl", "dl", "use_pallas",
+                                   "interpret"))
+def _render_frame_neural_q(key, scene: Scene, camera: Camera,
+                           params: DQNetworkParams, opt_state, epsilon,
+                           cfg: RenderConfig, rl: RadianceVolumeConfig,
+                           dl: DeepLearningConfig, use_pallas: bool,
+                           interpret: bool):
     # Rebuilt from the static config at trace time — pure functions, no state.
     optimizer = default_optimizer(dl)
     n = cfg.n_pixels
     spp = cfg.samples_per_pixel
+    hit_fn = _make_hit_fn(scene, cfg, use_pallas, interpret)
 
     def sample_body(i, carry):
         total_tp, params, opt_state, epsilon, key, stats = carry
         key, k_s = jax.random.split(key)
         state, params, opt_state, loss = _trace_sample(
             k_s, scene, camera, params, opt_state, optimizer, epsilon,
-            cfg, rl, dl)
+            cfg, rl, dl, hit_fn=hit_fn)
         total_tp = total_tp + state.throughput
         avg_len = jnp.mean(state.bounces.astype(jnp.float32))
         zclp = jnp.sum(jnp.all(state.throughput < cfg.throughput_threshold,

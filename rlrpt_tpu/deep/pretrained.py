@@ -33,7 +33,11 @@ class _Carry(NamedTuple):
 
 
 def _trace_sample_pretrained(key, scene, camera, params, cfg: RenderConfig,
-                             rl: RadianceVolumeConfig, dl: DeepLearningConfig):
+                             rl: RadianceVolumeConfig, dl: DeepLearningConfig,
+                             hit_fn=None):
+    if hit_fn is None:
+        hit_fn = lambda o, d: closest_hit(o, d, scene,  # noqa: E731
+                                          ray_tile=cfg.ray_tile)
     k_init, k_loop = jax.random.split(key)
     state0 = init_rays(k_init, camera, cfg)
 
@@ -60,8 +64,7 @@ def _trace_sample_pretrained(key, scene, camera, params, cfg: RenderConfig,
 
         # Simplified trace: terminated rays are left untouched
         # (ref: pre_trained_pathtracer.cu:432-435).
-        hit = closest_hit(state.loc + cfg.eps * state.direction,
-                          state.direction, scene, ray_tile=cfg.ray_tile)
+        hit = hit_fn(state.loc + cfg.eps * state.direction, state.direction)
         is_nothing = active & (hit.hit_type == NOTHING)
         is_light = active & (hit.hit_type == AREA_LIGHT)
         is_surface = active & (hit.hit_type == SURFACE)
@@ -89,19 +92,37 @@ def _trace_sample_pretrained(key, scene, camera, params, cfg: RenderConfig,
     return final.state
 
 
-@partial(jax.jit, static_argnames=("cfg", "rl", "dl"))
 def render_frame_pretrained(key, scene: Scene, camera: Camera, params,
                             cfg: RenderConfig, rl: RadianceVolumeConfig,
-                            dl: DeepLearningConfig):
-    """Render one frame with a frozen network; returns (image, aux)."""
+                            dl: DeepLearningConfig, use_pallas: bool = True,
+                            interpret: bool | None = None):
+    """Render one frame with a frozen network; returns (image, aux).
+
+    The closest-hit sweep runs in the Pallas VMEM kernel by default
+    (interpret mode auto-selected on the CPU backend); use_pallas=False
+    falls back to the XLA sweep."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _render_frame_pretrained(key, scene, camera, params, cfg, rl, dl,
+                                    use_pallas, interpret)
+
+
+@partial(jax.jit, static_argnames=("cfg", "rl", "dl", "use_pallas",
+                                   "interpret"))
+def _render_frame_pretrained(key, scene: Scene, camera: Camera, params,
+                             cfg: RenderConfig, rl: RadianceVolumeConfig,
+                             dl: DeepLearningConfig, use_pallas: bool,
+                             interpret: bool):
+    from rlrpt_tpu.deep.neural_q import _make_hit_fn
     n = cfg.n_pixels
     spp = cfg.samples_per_pixel
+    hit_fn = _make_hit_fn(scene, cfg, use_pallas, interpret)
 
     def sample_body(i, carry):
         total_tp, path_acc, key = carry
         key, k_s = jax.random.split(key)
         state = _trace_sample_pretrained(k_s, scene, camera, params, cfg, rl,
-                                         dl)
+                                         dl, hit_fn=hit_fn)
         return (total_tp + state.throughput,
                 path_acc + state.bounces, key)
 

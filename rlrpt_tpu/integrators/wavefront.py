@@ -9,10 +9,11 @@ re-organised for TPU throughput:
   utilisation stays ~100% instead of waiting out the longest path of every
   spp round (a naive lockstep wavefront wastes bounce_cap / avg_path ≈ 10x
   on the reference's 80-bounce config);
-* **compaction** each bounce: a cumsum-scatter permutation (O(W), no sort)
-  packs live rays to the front so the Pallas closest-hit kernel
-  (ops.intersect_pallas) only sweeps ceil(live / R_TILE) tiles, draining
-  the end-of-frame tail cheaply;
+* **no per-bounce compaction**: the Pallas closest-hit kernel sweeps up
+  to the last live lane each bounce (a high-water mark, cheap to track)
+  and frame assembly is a plain reshape — the earlier cumsum-scatter
+  compaction permutation measured slower than the sweep it saved once
+  sample regeneration keeps lanes dense (commit 487bed4);
 * radiance accumulates **per slot** (pure elementwise) and is scattered to
   pixels ONCE per frame — a per-bounce segment_sum scatter measured 21 ms
   (it serialises on TPU) vs <0.1 ms for everything else in the loop;

@@ -177,3 +177,38 @@ def closest_hit_packed(o: jnp.ndarray, d: jnp.ndarray, tris: jnp.ndarray,
             bytes_accessed=(8 * r_pad + 16 * tris.shape[0]) * 4),
     )(jnp.asarray(active_count, jnp.int32).reshape(1), rays, tris)
     return t[0, :r], idx[0, :r]
+
+
+def closest_hit_pallas(o: jnp.ndarray, d: jnp.ndarray, scene: Scene,
+                       tris: jnp.ndarray | None = None,
+                       active_count=None, interpret: bool = False,
+                       r_tile: int = R_TILE):
+    """Drop-in `ops.intersect.closest_hit` replacement backed by the VMEM
+    kernel: returns the same Hit record (t/tri/hit_type/position/normal)
+    so integrators can swap hit implementations without other changes
+    (used by the deep paths, ref: neural_q_pathtracer.cu:646-752 and
+    pre_trained_pathtracer.cu:413-491, which share the same
+    closest_intersection as every other tracer, ray.cu:17-36).
+
+    `tris`: optional pre-packed triangle table (pack_triangles(scene)) so
+    per-bounce callers pack once per frame.
+    """
+    from rlrpt_tpu.ops.intersect import Hit
+    from rlrpt_tpu.scene.scene import AREA_LIGHT, NOTHING, SURFACE
+
+    if tris is None:
+        tris = pack_triangles(scene)
+    if active_count is None:
+        active_count = o.shape[0]
+    t, tri = closest_hit_packed(o, d, tris, active_count,
+                                interpret=interpret, r_tile=r_tile)
+    missed = t >= jnp.float32(1.0e38)
+    hit_type = jnp.where(
+        missed, NOTHING,
+        jnp.where(tri >= scene.n_surfaces, AREA_LIGHT,
+                  SURFACE)).astype(jnp.int32)
+    t_safe = jnp.where(missed, 0.0, t)
+    position = o + t_safe[:, None] * d
+    normal = scene.normal[tri]
+    return Hit(t=jnp.where(missed, jnp.float32(INF), t), tri=tri,
+               hit_type=hit_type, position=position, normal=normal)

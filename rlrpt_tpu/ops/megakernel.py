@@ -526,7 +526,7 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, g_lo_ref, mtbl_ref, mtbl_lo_ref,
 def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
                         r_tile: int = R_TILE, pix_mux: int = 8,
                         interpret: bool = False,
-                        precision: str = "highest", unroll: int = 2):
+                        precision: str = "high3", unroll: int = 2):
     """Render a frame with the megakernel; returns (image (H,W,3), aux).
 
     Same estimator as integrators.default_tracer.render_default
@@ -537,6 +537,11 @@ def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
     the long-path tail (a tile runs until its SLOWEST slot drains, and with
     K pixels per slot the per-slot workload variance shrinks ~K-fold).
     """
+    if unroll < 1:
+        raise ValueError(f"unroll must be >= 1, got {unroll}")
+    if precision not in _PRECISIONS:
+        raise ValueError(f"precision must be one of {sorted(_PRECISIONS)}, "
+                         f"got {precision!r}")
     n_pix = cfg.n_pixels
     g, mtbl = mt_tables(scene)
     t_pad = g.shape[0] // 4

@@ -211,7 +211,8 @@ def render_frame_sarsa_wavefront_dp(key, scene: Scene, camera: Camera,
 def neural_q_train_step_dp(key, scene: Scene, camera: Camera, params,
                            opt_state, epsilon, cfg: RenderConfig,
                            rl: RadianceVolumeConfig, dl: DeepLearningConfig,
-                           mesh=None):
+                           mesh=None, use_pallas: bool = True,
+                           interpret: bool | None = None):
     """One sharded neural-Q training sample (the full training step:
     forward, epsilon-greedy wavefront trace, TD targets, psum'd gradients,
     sequential minibatch Adam — the dryrun_multichip target).
@@ -220,6 +221,8 @@ def neural_q_train_step_dp(key, scene: Scene, camera: Camera, params,
     """
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     optimizer = nq.default_optimizer(dl)
     # Each device sees 1/D of every global minibatch; shrinking the local
     # batch keeps the reference's global 4096-ray minibatch semantics after
@@ -230,9 +233,10 @@ def neural_q_train_step_dp(key, scene: Scene, camera: Camera, params,
     def step(key, params, opt_state):
         def shard_fn(key, o, d, params, opt_state):
             key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+            hit_fn = nq._make_hit_fn(scene, cfg, use_pallas, interpret)
             state, params, opt_state, loss = nq._trace_sample(
                 key, scene, camera, params, opt_state, optimizer, epsilon,
-                cfg, rl, dl, axis_name=RAY_AXIS, rays=(o, d))
+                cfg, rl, dl, axis_name=RAY_AXIS, rays=(o, d), hit_fn=hit_fn)
             return state.throughput, params, opt_state, loss
 
         traced = shard_map(shard_fn, mesh=mesh,

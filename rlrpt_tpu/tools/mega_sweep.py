@@ -3,9 +3,13 @@
 Times render_default_mega over a grid of (r_tile, pix_mux, precision,
 unroll) at the bench point (cornell 720x720, 1 spp, 80-bounce cap) and
 reports rays/s per variant plus the MAPE of each variant's image against
-the float32-HIGHEST render at the same seed (lower-precision intersection
-matmuls can flip hit classifications at triangle edges; the MAPE column
-quantifies the damage).
+the float32-HIGHEST render at the same seed.  NOTE: for variants that
+change PRECISION this column is only a sanity indicator, not a bias
+measurement — perturbed intersections reshuffle the in-kernel RNG stream,
+so same-seed MAPE mostly measures MC noise (see
+tools/precision_check.py, which measures estimator bias properly against
+a high-spp ground truth).  It is a valid comparison only between variants
+with identical tiling and precision.
 
 Usage:  python -m rlrpt_tpu.tools.mega_sweep \
             [--variants r_tile,pix_mux,precision,unroll;...] [--repeats 8]
@@ -28,7 +32,7 @@ from rlrpt_tpu.utils.image import mape_score
 
 DEFAULT_VARIANTS = (
     "1024,32,highest,2",
-    "1024,32,high,2",
+    "1024,32,high3,2",
     "1024,32,default,2",
     "2048,32,highest,2",
     "512,32,highest,2",
