@@ -95,6 +95,9 @@ class _State(NamedTuple):
     path_sum: jnp.ndarray     # scalar f32
     zclp: jnp.ndarray         # scalar int32 zero-contribution paths
     iters: jnp.ndarray        # scalar int32
+    td_count: jnp.ndarray     # scalar int32 TD scatters issued (== the
+                              # exact visit-count delta, an invariant the
+                              # tests assert across schedules)
     vols: RadianceVolumes
 
 
@@ -163,6 +166,7 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
         image=jnp.zeros((n_local, 3), jnp.float32),
         irr=irradiance_estimates(vols),
         path_sum=jnp.float32(0.0), zclp=jnp.int32(0), iters=jnp.int32(0),
+        td_count=jnp.int32(0),
         vols=vols)
 
     def make_body(wp: int):
@@ -211,6 +215,12 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                 jnp.where(hit_light, cur_brdf * scene.luminance[tri],
                           cur_brdf * s.irr[next_vol]))
             pending = act & (cur_sector >= 0)
+            # Counted from the PRE-scatter mask, so the visits-delta
+            # assertion cross-checks the segment_sum scatter itself.
+            td_add = jnp.sum(pending.astype(jnp.int32))
+            if axis_name is not None:
+                td_add = jax.lax.psum(td_add, axis_name)
+            td_count = s.td_count + td_add
             sum_t, cnt = sarsa_contributions(
                 cur_vol, jnp.maximum(cur_sector, 0), target, pending,
                 s.vols.n_volumes, s.vols.n_sectors)
@@ -309,7 +319,7 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                           cur_vol=cur_vol, cur_sector=cur_sector,
                           cur_brdf=cur_brdf, image=s.image, irr=irr_new,
                           path_sum=path_sum, zclp=zclp, iters=s.iters + 1,
-                          vols=vols_new)
+                          td_count=td_count, vols=vols_new)
 
         return body
 
@@ -360,7 +370,8 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                 **{f: getattr(state, f)[:w_next] for f in _SLOT_FIELDS})
 
     image = _flush(state.image, state.pixel, state.kmx, state.slot_rad)
-    return (image, state.vols, state.path_sum, state.zclp, state.iters)
+    return (image, state.vols, state.path_sum, state.zclp, state.iters,
+            state.td_count)
 
 
 @partial(jax.jit, static_argnames=("cfg", "rl", "pix_mux", "interpret"))
@@ -374,14 +385,16 @@ def render_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
     same aux keys (avg_path_length, zero_contribution_light_paths), same
     per-frame CDF rebuild at the end (ref: main.cu:342-344).
     """
-    image_sum, vols, path_sum, zclp, iters = trace_frame_sarsa_wavefront(
-        key, scene, camera, vols, grid, cfg, rl, pix_mux=pix_mux,
-        interpret=interpret)
+    image_sum, vols, path_sum, zclp, iters, td_count = \
+        trace_frame_sarsa_wavefront(
+            key, scene, camera, vols, grid, cfg, rl, pix_mux=pix_mux,
+            interpret=interpret)
     vols = rebuild_cdf(vols, rl.distribution_threshold)
     total = cfg.n_pixels * cfg.samples_per_pixel
     img = (image_sum / cfg.samples_per_pixel).reshape(
         cfg.height, cfg.width, 3)
     aux = {"avg_path_length": path_sum / total,
            "zero_contribution_light_paths": zclp,
-           "wavefront_iterations": iters}
+           "wavefront_iterations": iters,
+           "td_scatter_count": td_count}
     return img, vols, aux

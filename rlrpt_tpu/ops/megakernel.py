@@ -197,7 +197,9 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, g_lo_ref, mtbl_ref, mtbl_lo_ref,
                  spp: int, max_bounces: int, env: float, eps: float,
                  pix_mux: int, n_slots: int,
                  precision=jax.lax.Precision.HIGHEST, unroll: int = 2,
-                 compensated: bool = False):
+                 compensated: bool = False,
+                 russian_roulette: bool = False, rr_start_bounce: int = 3,
+                 rr_min_prob: float = 0.05):
     tile = pl.program_id(0)
     seed = seed_ref[0]
 
@@ -440,6 +442,25 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, g_lo_ref, mtbl_ref, mtbl_lo_ref,
         tr = jnp.where(survive, tr * cr * scale, tr)
         tg = jnp.where(survive, tg * cg * scale, tg)
         tb = jnp.where(survive, tb * cb * scale, tb)
+
+        rr_killed = jnp.zeros_like(survive)
+        if russian_roulette:
+            # Same unbiased kill/reweight as the wavefront integrators:
+            # from rr_start_bounce on, survive with p = clip(max tp,
+            # rr_min_prob, 1) and divide the throughput by p.  The draw
+            # uses its own RNG stream (4) so RR-off images are untouched.
+            u5 = _uniform(seed, pix, it1, 4)
+            tmax = jnp.maximum(tr, jnp.maximum(tg, tb))
+            p = jnp.clip(tmax, jnp.float32(rr_min_prob), jnp.float32(1.0))
+            do_rr = survive & (bounce + 1 >= rr_start_bounce)
+            rr_killed = do_rr & (u5 >= p)
+            keep = (do_rr & ~rr_killed).astype(jnp.float32)
+            inv_p = keep / p + (1.0 - keep)
+            tr = tr * inv_p
+            tg = tg * inv_p
+            tb = tb * inv_p
+            survive = survive & ~rr_killed
+
         hx = ox + best_t * dx
         hy = oy + best_t * dy
         hz = oz + best_t * dz
@@ -450,7 +471,7 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, g_lo_ref, mtbl_ref, mtbl_lo_ref,
         dy = jnp.where(survive, sdy, dy)
         dz = jnp.where(survive, sdz, dz)
 
-        done = missed | hit_light
+        done = missed | hit_light | rr_killed
         path_sum = (path_sum
                     + jnp.where(done, (bounce + 1).astype(jnp.float32), 0.0)
                     + jnp.where(exhausted, jnp.float32(max_bounces), 0.0))
@@ -577,7 +598,9 @@ def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
         max_bounces=cfg.max_ray_bounces, env=cfg.environment_light,
         eps=cfg.eps, pix_mux=pix_mux, n_slots=n_slots,
         precision=_PRECISIONS[precision], unroll=unroll,
-        compensated=compensated)
+        compensated=compensated,
+        russian_roulette=cfg.russian_roulette,
+        rr_start_bounce=cfg.rr_start_bounce, rr_min_prob=cfg.rr_min_prob)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

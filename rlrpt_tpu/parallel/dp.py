@@ -180,7 +180,7 @@ def render_frame_sarsa_wavefront_dp(key, scene: Scene, camera: Camera,
         def shard_fn(key, vols_r, grid_r):
             i = jax.lax.axis_index(RAY_AXIS)
             key = jax.random.fold_in(key, i)
-            img, vols_out, path_sum, zclp, iters = \
+            img, vols_out, path_sum, zclp, iters, td_count = \
                 trace_frame_sarsa_wavefront(
                     key, scene, camera, vols_r, grid_r, cfg, rl,
                     pix_mux=pix_mux, axis_name=RAY_AXIS,
@@ -188,13 +188,14 @@ def render_frame_sarsa_wavefront_dp(key, scene: Scene, camera: Camera,
                     n_pix_local=n_local)
             path_sum = jax.lax.psum(path_sum, RAY_AXIS)
             zclp = jax.lax.psum(zclp, RAY_AXIS)
-            return img, vols_out, path_sum, zclp, iters
+            return img, vols_out, path_sum, zclp, iters, td_count
 
         traced = shard_map(shard_fn, mesh=mesh,
                            in_specs=(P(), P(), P()),
-                           out_specs=(P(RAY_AXIS), P(), P(), P(), P()),
+                           out_specs=(P(RAY_AXIS), P(), P(), P(), P(), P()),
                            check_vma=False)
-        img_sum, vols_out, path_sum, zclp, iters = traced(key, vols, grid)
+        img_sum, vols_out, path_sum, zclp, iters, td_count = traced(
+            key, vols, grid)
         img_sum = img_sum[:n_pix]
         vols_out = rebuild_cdf(vols_out, rl.distribution_threshold)
         total = n_pix * cfg.samples_per_pixel
@@ -202,7 +203,8 @@ def render_frame_sarsa_wavefront_dp(key, scene: Scene, camera: Camera,
             cfg.height, cfg.width, 3)
         aux = {"avg_path_length": path_sum / total,
                "zero_contribution_light_paths": zclp,
-               "wavefront_iterations": iters}
+               "wavefront_iterations": iters,
+               "td_scatter_count": td_count}
         return img, vols_out, aux
 
     return frame(key, vols, grid)

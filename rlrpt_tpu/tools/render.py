@@ -130,11 +130,6 @@ def main(argv=None) -> int:
 
     if args.mode in ("default", "wavefront", "mega"):
         if args.mode == "mega":
-            if args.russian_roulette:
-                raise SystemExit(
-                    "--russian-roulette is not supported by --mode mega "
-                    "(the megakernel has no RR path); use --mode default "
-                    "or --mode wavefront")
             from rlrpt_tpu.ops.megakernel import render_default_mega
             img, aux = render_default_mega(key, scene, camera, cfg,
                                            interpret=interp)

@@ -127,3 +127,40 @@ def test_rr_off_key_stream_matches_plain_split():
     # predicted new_d must be exactly where the 2-bounce render gained energy.
     np.testing.assert_array_equal(delta & surface_first,
                                   expects_light & surface_first)
+
+
+def test_rr_megakernel_unbiased_and_shorter():
+    """Megakernel RR: unbiased within MC noise vs its own RR-off render and
+    measurably shorter paths (the in-kernel draw uses a dedicated RNG
+    stream, so the RR-off image is untouched by the rr_* knobs)."""
+    from rlrpt_tpu.ops.megakernel import render_default_mega
+
+    scene = cornell_box()
+    kw = dict(r_tile=256, pix_mux=4, interpret=True)
+    img_off, aux_off = render_default_mega(jax.random.PRNGKey(7), scene,
+                                           _CAM, _CFG, **kw)
+    img_on, aux_on = render_default_mega(jax.random.PRNGKey(7), scene,
+                                         _CAM, _RR, **kw)
+    img_off2, _ = render_default_mega(jax.random.PRNGKey(9), scene,
+                                      _CAM, _CFG, **kw)
+    noise = _mean_err(img_off, img_off2)
+    assert _mean_err(img_on, img_off) < 3.0 * noise + 1e-3
+    assert float(aux_on["avg_path_length"]) < float(aux_off["avg_path_length"])
+
+
+def test_rr_megakernel_off_ignores_rr_knobs():
+    """RR-off megakernel renders are bitwise independent of the rr_* knobs
+    (the whole RR block is a static `if russian_roulette:`)."""
+    import dataclasses as dc
+
+    from rlrpt_tpu.ops.megakernel import render_default_mega
+
+    scene = cornell_box()
+    cfg_small = dc.replace(_CFG, samples_per_pixel=4, max_ray_bounces=8)
+    kw = dict(r_tile=256, pix_mux=4, interpret=True)
+    a, _ = render_default_mega(jax.random.PRNGKey(3), scene, _CAM,
+                               cfg_small, **kw)
+    b, _ = render_default_mega(jax.random.PRNGKey(3), scene, _CAM,
+                               dc.replace(cfg_small, rr_start_bounce=7,
+                                          rr_min_prob=0.5), **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

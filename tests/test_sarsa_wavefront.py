@@ -108,22 +108,21 @@ def test_drain_cascade_matches_single_phase(monkeypatch):
 
 
 def test_q_visits_conserved():
-    """Every pending TD contribution lands exactly once: total visit count
-    equals the number of surface-to-anything transitions, independent of
-    scheduling — here just checked for consistency across pix_mux."""
+    """Every pending TD contribution lands EXACTLY once: the visit-count
+    delta equals the number of TD scatters issued (counted from the
+    pre-scatter pending mask, aux["td_scatter_count"]), exact across
+    pix_mux / drain schedules — a dropped or double-counted segment_sum
+    scatter breaks the equality."""
     scene, vols, grid = _setup()
-    _, vols1, _ = render_frame_sarsa_wavefront(
-        jax.random.PRNGKey(7), scene, _CAM, vols, grid, _CFG, _RL,
-        pix_mux=1, interpret=True)
-    _, vols2, _ = render_frame_sarsa_wavefront(
-        jax.random.PRNGKey(7), scene, _CAM, vols, grid, _CFG, _RL,
-        pix_mux=2, interpret=True)
-    v1 = int(jnp.sum(vols1.visits))
-    v2 = int(jnp.sum(vols2.visits))
-    assert v1 > 0
-    # Same seed, different scheduling: totals are close (paths differ only
-    # through RNG consumption order).
-    assert abs(v1 - v2) < 0.2 * max(v1, v2) + 100
+    v0 = int(jnp.sum(vols.visits))
+    for pix_mux in (1, 2):
+        _, vols_out, aux = render_frame_sarsa_wavefront(
+            jax.random.PRNGKey(7), scene, _CAM, vols, grid, _CFG, _RL,
+            pix_mux=pix_mux, interpret=True)
+        delta = int(jnp.sum(vols_out.visits)) - v0
+        td = int(aux["td_scatter_count"])
+        assert td > 0
+        assert delta == td, (delta, td, pix_mux)
 
 
 def test_bsearch_sampler_matches_gather_sampler():
