@@ -1,0 +1,196 @@
+"""Thesis evaluation protocol: method-vs-method MAPE at a fixed budget.
+
+Reproduces the reference's headline quality experiment
+(Descriptions/write_up/chapters/4_critical_evaluation.tex:47-69, ranking
+at :61 and :187; metric Graphing/mape.py:10-21): per scene, render a
+high-spp ground truth once, then equal-budget test renders for
+
+  * the default path tracer (uniform hemisphere sampling),
+  * expected-SARSA (tabular Q, trained online for N frames first),
+  * neural-Q (MLP trained online for N frames, then inference render),
+
+and score each against the GT with the reference's MAPE.  The thesis
+protocol is 4096-spp GT / 128-spp tests at 720x720; all knobs are flags
+so the same harness runs as a tiny CPU smoke test.
+
+The reference's core claim — RL-guided sampling reaches lower MAPE than
+uniform sampling at an equal sample budget — is what the emitted table
+demonstrates on this framework.
+
+Usage:
+  python -m rlrpt_tpu.tools.evaluate [--size 720] [--gt-spp 4096]
+      [--spp 128] [--sarsa-frames 10] [--nq-frames 8] [--out EVAL.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlrpt_tpu.camera import Camera
+from rlrpt_tpu.config import (DeepLearningConfig, RadianceVolumeConfig,
+                              RenderConfig)
+from rlrpt_tpu.scene import cornell_box, presets
+from rlrpt_tpu.utils.image import mape_score, write_png
+
+
+def _mape(img, gt):
+    """Reference MAPE between [0,1] float images (Graphing/mape.py:10-21
+    operates on 8-bit values scaled back to [0,1]; match that exactly by
+    quantising both sides)."""
+    a = np.round(np.clip(np.asarray(img), 0.0, 1.0) * 255.0)
+    b = np.round(np.clip(np.asarray(gt), 0.0, 1.0) * 255.0)
+    return mape_score(b, a)
+
+
+def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
+                   sarsa_spp, nq_frames, nq_spp, area_per_sample, interpret,
+                   key, out_prefix=None, skip_nq=False):
+    """Returns a list of result-row dicts for one scene."""
+    from rlrpt_tpu.ops.megakernel import render_default_mega
+
+    rows = []
+    mk_cfg = lambda s: RenderConfig(  # noqa: E731
+        width=size, height=size, samples_per_pixel=s, max_ray_bounces=bounces)
+
+    def clock(fn):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        return out, time.perf_counter() - t0
+
+    # ---- ground truth ----------------------------------------------------
+    (gt, _), gt_dt = clock(lambda: render_default_mega(
+        jax.random.fold_in(key, 999), scene, cam, mk_cfg(gt_spp),
+        r_tile=1024, pix_mux=8, interpret=interpret, precision="highest"))
+    if out_prefix:
+        write_png(f"{out_prefix}_gt.png", np.asarray(gt))
+
+    # ---- default tracer @ test budget ------------------------------------
+    (img_d, _), d_dt = clock(lambda: render_default_mega(
+        jax.random.fold_in(key, 1), scene, cam, mk_cfg(spp),
+        r_tile=1024, pix_mux=8, interpret=interpret))
+    rows.append({"method": "default", "spp": spp,
+                 "mape": round(_mape(img_d, gt), 4),
+                 "render_sec": round(d_dt, 2)})
+    if out_prefix:
+        write_png(f"{out_prefix}_default.png", np.asarray(img_d))
+
+    # ---- expected SARSA: train N frames, then the test render ------------
+    from rlrpt_tpu.integrators.sarsa_wavefront import (
+        render_frame_sarsa_wavefront)
+    from rlrpt_tpu.radiance.grid_bucket import build_volume_grid
+    from rlrpt_tpu.radiance.volumes import build_radiance_volumes
+
+    rl = RadianceVolumeConfig(area_per_sample=area_per_sample)
+    vols = build_radiance_volumes(scene, rl)
+    grid = build_volume_grid(vols)
+    t0 = time.perf_counter()
+    train_cfg = mk_cfg(sarsa_spp)
+    for f in range(sarsa_frames):
+        _, vols, _ = render_frame_sarsa_wavefront(
+            jax.random.fold_in(key, 100 + f), scene, cam, vols, grid,
+            train_cfg, rl, pix_mux=4, interpret=interpret)
+    jax.block_until_ready(vols.q)
+    s_train_dt = time.perf_counter() - t0
+    (img_s, _), s_dt = clock(lambda: render_frame_sarsa_wavefront(
+        jax.random.fold_in(key, 2), scene, cam, vols, grid, mk_cfg(spp),
+        rl, pix_mux=4, interpret=interpret)[:2])
+    rows.append({"method": "sarsa", "spp": spp,
+                 "mape": round(_mape(img_s, gt), 4),
+                 "train_frames": sarsa_frames, "train_spp": sarsa_spp,
+                 "n_volumes": int(vols.n_volumes),
+                 "train_sec": round(s_train_dt, 2),
+                 "render_sec": round(s_dt, 2)})
+    if out_prefix:
+        write_png(f"{out_prefix}_sarsa.png", np.asarray(img_s))
+
+    # ---- neural-Q: online-train N frames, then inference render ----------
+    if not skip_nq:
+        from rlrpt_tpu.deep.neural_q import (init_neural_q,
+                                             render_frame_neural_q)
+        from rlrpt_tpu.deep.pretrained import render_frame_pretrained
+
+        dl = DeepLearningConfig()
+        params, opt_state = init_neural_q(jax.random.fold_in(key, 7), scene,
+                                          dl, rl.grid_resolution)
+        eps = 1.0
+        t0 = time.perf_counter()
+        nq_cfg = mk_cfg(nq_spp)
+        for f in range(nq_frames):
+            _, params, opt_state, eps, _ = render_frame_neural_q(
+                jax.random.fold_in(key, 200 + f), scene, cam, params,
+                opt_state, eps, nq_cfg, rl, dl, interpret=interpret)
+        jax.block_until_ready(params)
+        nq_train_dt = time.perf_counter() - t0
+        (nq_res, _), nq_dt = clock(lambda: render_frame_pretrained(
+            jax.random.fold_in(key, 3), scene, cam, params, mk_cfg(spp),
+            rl, dl, interpret=interpret))
+        img_n = nq_res
+        rows.append({"method": "neural_q", "spp": spp,
+                     "mape": round(_mape(img_n, gt), 4),
+                     "train_frames": nq_frames, "train_spp": nq_spp,
+                     "train_sec": round(nq_train_dt, 2),
+                     "render_sec": round(nq_dt, 2)})
+        if out_prefix:
+            write_png(f"{out_prefix}_neural_q.png", np.asarray(img_n))
+
+    for r in rows:
+        r["gt_spp"] = gt_spp
+        r["gt_render_sec"] = round(gt_dt, 2)
+        r["size"] = size
+        r["bounces"] = bounces
+    return rows
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="cornell")
+    ap.add_argument("--size", type=int, default=720)
+    ap.add_argument("--gt-spp", type=int, default=4096)
+    ap.add_argument("--spp", type=int, default=128)
+    ap.add_argument("--bounces", type=int, default=80)
+    ap.add_argument("--sarsa-frames", type=int, default=10)
+    ap.add_argument("--sarsa-spp", type=int, default=32)
+    ap.add_argument("--nq-frames", type=int, default=8)
+    ap.add_argument("--nq-spp", type=int, default=8)
+    ap.add_argument("--area-per-sample", type=float, default=0.001)
+    ap.add_argument("--skip-nq", action="store_true")
+    ap.add_argument("--out", default="EVAL.json")
+    ap.add_argument("--out-prefix", default=None,
+                    help="if set, write PNGs <prefix>_{gt,default,...}.png")
+    args = ap.parse_args(argv)
+
+    interpret = jax.default_backend() == "cpu"
+    if args.scene == "cornell":
+        scene = cornell_box()
+        cam = Camera.create([0.0, 0.0, -3.0])
+    else:
+        p = presets.get(args.scene)
+        scene = p.load()
+        cam = Camera.create(p.camera_position)
+
+    rows = evaluate_scene(
+        scene, cam, size=args.size, gt_spp=args.gt_spp, spp=args.spp,
+        bounces=args.bounces, sarsa_frames=args.sarsa_frames,
+        sarsa_spp=args.sarsa_spp, nq_frames=args.nq_frames,
+        nq_spp=args.nq_spp, area_per_sample=args.area_per_sample,
+        interpret=interpret, key=jax.random.PRNGKey(1984),
+        out_prefix=args.out_prefix, skip_nq=args.skip_nq)
+    for r in rows:
+        r["scene"] = args.scene
+    result = {"protocol": "thesis MAPE (4_critical_evaluation.tex:47-69)",
+              "backend": jax.default_backend(), "rows": rows}
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
