@@ -43,10 +43,11 @@ REFERENCE_RAYS_PER_SEC_ESTIMATE = 1.0e8
 # v5e chip: 1024/32 beat 2048/{4,8,16} and 1024/64).
 R_TILE = 1024
 PIX_MUX = 32
-# Intersection precision: 3-pass compensated-bf16 ("high3") — halves MXU
-# passes vs the 6-pass HIGHEST emulation with estimator bias at the MC
-# noise floor (tools/precision_check.py: +0.13% vs f32's +0.40% at equal
-# budget; the kernel is MXU-pass-bound, commit 7c85a7a).
+# Intersection precision: compensated-bf16 ("high3"), fused into a SINGLE
+# MXU pass ([Gh|Gh|Gl] @ [fh;fl;fh], K=48 zero-pads to the MXU's 128
+# contraction lanes just like K=16) — vs 6 passes for the HIGHEST
+# emulation, with estimator bias at the MC noise floor
+# (tools/precision_check.py; the kernel is MXU-pass-bound).
 PRECISION = "high3"
 
 

@@ -54,10 +54,14 @@ T_CHUNK = 256      # max triangles per matmul chunk (sublanes)
 
 #: Matmul precision modes for the intersection sweep.  "highest" = 6-pass
 #: bf16 (f32-exact), "default" = 1 native bf16 pass (fast, ~4e-3 relative
-#: error — visibly biased at edges), "high3" = MANUAL 3-pass compensated
-#: bf16 (hi/lo split of both operands, dropping only the lo*lo term:
-#: ~1.5e-5 relative, the classic Precision.HIGH algorithm, which Mosaic
-#: does not expose — "Unsupported dot precision: HIGH").
+#: error — visibly biased at edges), "high3" = MANUAL compensated bf16
+#: (hi/lo split of both operands, dropping only the lo*lo term: ~1.5e-5
+#: relative, the classic Precision.HIGH algorithm, which Mosaic does not
+#: expose — "Unsupported dot precision: HIGH").  The three compensated
+#: partial products Gh*fh + Gh*fl + Gl*fh are evaluated as ONE matmul
+#: [Gh|Gh|Gl] @ [fh;fl;fh] with K=48: the MXU zero-pads the contraction
+#: dim to 128 either way, so the fused form costs one pass, not three
+#: (and likewise the hi/lo material fetch fuses into one M=32 pass).
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
     "high3": None,  # handled structurally (compensated operands)
@@ -187,7 +191,7 @@ def _uniform(seed, pix, it, stream: int):
         * jnp.float32(1.0 / 16777216.0)
 
 
-def _mega_kernel(seed_ref, cam_ref, g_ref, g_lo_ref, mtbl_ref, mtbl_lo_ref,
+def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref,
                  out_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                  tr_ref, tg_ref, tb_ref, ps_ref,
@@ -269,24 +273,20 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, g_lo_ref, mtbl_ref, mtbl_lo_ref,
             one,
         ], axis=0)                                        # (16, r)
         if compensated:
+            # q = Gh fh + Gh fl + Gl fh (the dropped Gl*fl term is ~2^-16
+            # relative), fused into ONE bf16 matmul: g_ref holds
+            # [Gh | Gh | Gl] (4T, 48) and the ray operand is [fh; fl; fh]
+            # (48, r).  K=48 zero-pads to the MXU's 128 contraction lanes
+            # exactly like K=16 does, so this costs one pass, not three.
             f_hi, f_lo = _split_bf16(f)
+            f = jnp.concatenate([f_hi, f_lo, f_hi], axis=0)   # (48, r)
 
         def mt_dot(c):
             ds = pl.ds(4 * c * t_chunk, 4 * t_chunk)
             if compensated:
-                # 3-pass compensated bf16: G ~ Gh + Gl, f ~ fh + fl;
-                # q = Gh fh + Gh fl + Gl fh (the dropped Gl*fl term is
-                # ~2^-16 relative) — each pass a native-rate bf16 matmul.
-                gh = g_ref[ds, :]
-                return (jax.lax.dot_general(
-                            gh, f_hi, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        + jax.lax.dot_general(
-                            gh, f_lo, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        + jax.lax.dot_general(
-                            g_lo_ref[ds, :], f_hi, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32))
+                return jax.lax.dot_general(
+                    g_ref[ds, :], f, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             return jax.lax.dot_general(
                 g_ref[ds, :], f,
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -296,14 +296,14 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, g_lo_ref, mtbl_ref, mtbl_lo_ref,
             ds = pl.ds(c * t_chunk, t_chunk)
             if compensated:
                 # One-hot entries are exact in bf16; hi+lo recovers the
-                # f32 material rows to rounding.
+                # f32 material rows to rounding.  mtbl_ref stacks the hi
+                # rows over the lo rows ((32, T)); one M=32 pass replaces
+                # the two M=16 passes (M zero-pads to 128 either way).
                 oh = onehot.astype(jnp.bfloat16)
-                return (jax.lax.dot_general(
-                            mtbl_ref[:, ds], oh, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        + jax.lax.dot_general(
-                            mtbl_lo_ref[:, ds], oh, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32))
+                m2 = jax.lax.dot_general(
+                    mtbl_ref[:, ds], oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # (32, r)
+                return m2[:16] + m2[16:]
             return jax.lax.dot_general(
                 mtbl_ref[:, ds], onehot,
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -571,12 +571,13 @@ def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
 
     compensated = precision == "high3"
     if compensated:
-        g, g_lo = _split_bf16(g)
-        mtbl, mtbl_lo = _split_bf16(mtbl)
-    else:
-        # Unused in the kernel; same shapes keep ONE pallas_call structure.
-        g_lo = jnp.zeros(g.shape, jnp.bfloat16)
-        mtbl_lo = jnp.zeros(mtbl.shape, jnp.bfloat16)
+        # Fused compensated operands: [Gh | Gh | Gl] (4T, 48) so that
+        # [Gh|Gh|Gl] @ [fh;fl;fh] yields Gh fh + Gh fl + Gl fh in one MXU
+        # pass, and hi-over-lo material rows (32, T) for one M=32 fetch.
+        g_hi, g_lo = _split_bf16(g)
+        g = jnp.concatenate([g_hi, g_hi, g_lo], axis=1)       # (4T, 48)
+        m_hi, m_lo = _split_bf16(mtbl)
+        mtbl = jnp.concatenate([m_hi, m_lo], axis=0)          # (32, T)
 
     n_slots = int(math.ceil(n_pix / pix_mux / r_tile) * r_tile)
     n_tiles = n_slots // r_tile
@@ -608,13 +609,9 @@ def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
         in_specs=[
             pl.BlockSpec((1, 8), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * t_pad, 16), lambda i, s: (0, 0),
+            pl.BlockSpec(g.shape, lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * t_pad, 16), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, t_pad), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, t_pad), lambda i, s: (0, 0),
+            pl.BlockSpec(mtbl.shape, lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((out_rows, r_tile), lambda i, s: (0, i),
@@ -634,7 +631,7 @@ def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
                 t_pad * 140 + 300),
             transcendentals=int(n_pix) * cfg.samples_per_pixel * 10 * 4,
             bytes_accessed=(out_rows * n_slots + 65 * t_pad) * 4),
-    )(seed, cam, g, g_lo, mtbl, mtbl_lo)
+    )(seed, cam, g, mtbl)
 
     k = pix_mux
     # pixel p = slot + k*n_slots lives at out[c*k + p//n_slots, p%n_slots]

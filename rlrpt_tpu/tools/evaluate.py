@@ -37,6 +37,7 @@ from rlrpt_tpu.camera import Camera
 from rlrpt_tpu.config import (DeepLearningConfig, RadianceVolumeConfig,
                               RenderConfig)
 from rlrpt_tpu.scene import cornell_box, presets
+from rlrpt_tpu.utils.profiling import host_fence
 from rlrpt_tpu.utils.image import mape_score, write_png
 
 
@@ -62,7 +63,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
     def clock(fn):
         t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(out)
+        host_fence(out)  # block_until_ready is unreliable over axon
         return out, time.perf_counter() - t0
 
     # ---- ground truth ----------------------------------------------------
@@ -97,7 +98,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
         _, vols, _ = render_frame_sarsa_wavefront(
             jax.random.fold_in(key, 100 + f), scene, cam, vols, grid,
             train_cfg, rl, pix_mux=4, interpret=interpret)
-    jax.block_until_ready(vols.q)
+    host_fence(vols.q)
     s_train_dt = time.perf_counter() - t0
     (img_s, _), s_dt = clock(lambda: render_frame_sarsa_wavefront(
         jax.random.fold_in(key, 2), scene, cam, vols, grid, mk_cfg(spp),
@@ -127,7 +128,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
             _, params, opt_state, eps, _ = render_frame_neural_q(
                 jax.random.fold_in(key, 200 + f), scene, cam, params,
                 opt_state, eps, nq_cfg, rl, dl, interpret=interpret)
-        jax.block_until_ready(params)
+        host_fence(params)
         nq_train_dt = time.perf_counter() - t0
         (nq_res, _), nq_dt = clock(lambda: render_frame_pretrained(
             jax.random.fold_in(key, 3), scene, cam, params, mk_cfg(spp),

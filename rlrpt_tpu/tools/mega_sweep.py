@@ -30,15 +30,17 @@ from rlrpt_tpu.config import RenderConfig
 from rlrpt_tpu.scene import cornell_box
 from rlrpt_tpu.utils.image import mape_score
 
+# high3 (the production/bench mode since the fused compensated matmul)
+# is the swept axis; one highest and one default row for reference.
 DEFAULT_VARIANTS = (
-    "1024,32,highest,2",
     "1024,32,high3,2",
+    "2048,32,high3,2",
+    "512,32,high3,2",
+    "1024,64,high3,2",
+    "1024,32,high3,4",
+    "1024,32,high3,1",
+    "1024,32,highest,2",
     "1024,32,default,2",
-    "2048,32,highest,2",
-    "512,32,highest,2",
-    "1024,64,highest,2",
-    "1024,32,highest,4",
-    "1024,32,highest,1",
 )
 
 

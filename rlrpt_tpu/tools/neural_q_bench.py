@@ -61,10 +61,17 @@ def main(argv=None):
     total = cfg.n_pixels * cfg.samples_per_pixel
 
     if not args.skip_train:
-        # warm-up (compile + first dispatch)
-        img, params, opt_state, eps, aux = render_frame_neural_q(
-            key, scene, cam, params, opt_state, 1.0, cfg, rl, dl)
-        jnp.sum(img).block_until_ready()
+        # warm-up: compile + 3 executions (first dispatches over the axon
+        # tunnel are slow; time only the steady state), host-fenced
+        # (block_until_ready is unreliable over the tunnel).
+        eps = 1.0
+        acc = jnp.float32(0.0)
+        for i in range(3):
+            img, params, opt_state, eps, aux = render_frame_neural_q(
+                jax.random.fold_in(key, 900 + i), scene, cam, params,
+                opt_state, eps, cfg, rl, dl)
+            acc = acc + jnp.sum(img)
+        float(acc)
         t0 = time.perf_counter()
         acc = jnp.float32(0.0)
         lens = []
@@ -85,8 +92,12 @@ def main(argv=None):
             "image_rays_per_sec_lower_bound": round(rays / dt, 1),
             "final_loss": float(aux["loss"][-1])}), flush=True)
 
-    img, aux = render_frame_pretrained(key, scene, cam, params, cfg, rl, dl)
-    jnp.sum(img).block_until_ready()
+    acc = jnp.float32(0.0)
+    for i in range(3):
+        img, aux = render_frame_pretrained(jax.random.fold_in(key, 800 + i),
+                                           scene, cam, params, cfg, rl, dl)
+        acc = acc + jnp.sum(img)
+    float(acc)  # warm-up fence (see above)
     t0 = time.perf_counter()
     acc = jnp.float32(0.0)
     lens = []

@@ -5,11 +5,22 @@ tracer at equal SPP (4_critical_evaluation.tex:272, BASELINE.md).  This
 harness measures OUR ratio at the bench point: steady-state seconds per
 frame (and rays/s) for
 
-  * the default megakernel (ops.megakernel — the bench.py fast path),
+  * the default XLA wavefront (integrators.wavefront) — the
+    apples-to-apples baseline: the SARSA tracer is the same wavefront
+    machinery plus the RL additions (volume search, TD scatters, CDF
+    sampling), exactly how the reference's +20% compares its two kernels,
+  * the default megakernel (ops.megakernel — the bench.py fast path,
+    reported for reference),
   * the regenerative SARSA wavefront (integrators.sarsa_wavefront),
 
 on the cornell box at 720x720, 1 spp, 80-bounce cap, default volume
 density (radiance_volumes_settings.h defaults).
+
+Timing protocol (shared `measure`): 3 warm-up executions after compile
+(first dispatches over the axon tunnel are slow), then `trials` trials of
+`frames` chained executions fenced by ONE host materialisation, best
+trial reported.  block_until_ready is not a reliable fence over the
+tunnel — see utils.profiling.host_fence.
 
 Usage: python -m rlrpt_tpu.tools.sarsa_bench [--spp 1] [--frames 6]
        [--area-per-sample 0.001] [--pix-mux 1]
@@ -29,6 +40,35 @@ from rlrpt_tpu.config import RadianceVolumeConfig, RenderConfig
 from rlrpt_tpu.scene import cornell_box
 
 
+def measure(fn, key, frames: int, trials: int = 2):
+    """Steady-state sec/frame for `fn(key) -> (probe_scalar, path_len)`.
+
+    Warm-up: compile + 3 executions, fenced.  Then `trials` trials of
+    `frames` chained executions each; ONE host fetch per trial; returns
+    (best sec/frame, mean path length of the last trial).
+    """
+    acc = jnp.float32(0.0)
+    for i in range(3):
+        probe, _ = fn(jax.random.fold_in(key, 900 + i))
+        acc = acc + probe
+    float(acc)
+
+    best = float("inf")
+    paths = []
+    for t in range(trials):
+        t0 = time.perf_counter()
+        acc = jnp.float32(0.0)
+        paths = []
+        for i in range(frames):
+            probe, plen = fn(jax.random.fold_in(key, 100 * t + i))
+            paths.append(plen)
+            acc = acc + probe
+        float(acc)
+        best = min(best, (time.perf_counter() - t0) / frames)
+    mean_path = sum(float(p) for p in paths) / len(paths)
+    return best, mean_path
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=1)
@@ -39,6 +79,7 @@ def main(argv=None):
     ap.add_argument("--area-per-sample", type=float, default=0.001)
     ap.add_argument("--pix-mux", type=int, default=1)
     ap.add_argument("--skip-mega", action="store_true")
+    ap.add_argument("--skip-wavefront", action="store_true")
     args = ap.parse_args(argv)
 
     cfg = RenderConfig(width=args.width, height=args.height,
@@ -49,28 +90,31 @@ def main(argv=None):
     key = jax.random.PRNGKey(1984)
     total = cfg.n_pixels * cfg.samples_per_pixel
 
+    wf_dt = None
+    if not args.skip_wavefront:
+        from rlrpt_tpu.integrators.wavefront import render_wavefront
+
+        def run_wf(k):
+            img, aux = render_wavefront(k, scene, cam, cfg)
+            return jnp.sum(img), aux["avg_path_length"]
+
+        wf_dt, plen = measure(run_wf, key, args.frames)
+        print(json.dumps({
+            "which": "default_wavefront", "sec_per_frame": round(wf_dt, 4),
+            "rays_per_sec": round(plen * total / wf_dt, 1)}), flush=True)
+
     if not args.skip_mega:
         from rlrpt_tpu.ops.megakernel import render_default_mega
-        img, aux = render_default_mega(key, scene, cam, cfg, r_tile=1024,
-                                       pix_mux=32)
-        jnp.sum(img).block_until_ready()
-        t0 = time.perf_counter()
-        acc = jnp.float32(0.0)
-        paths = []
-        for i in range(args.frames):
-            img, aux = render_default_mega(jax.random.fold_in(key, i), scene,
-                                           cam, cfg, r_tile=1024, pix_mux=32)
-            paths.append(aux["avg_path_length"])
-            acc = acc + jnp.sum(img)
-        float(acc)
-        dt = (time.perf_counter() - t0) / args.frames
-        rays = sum(float(p) for p in paths) / args.frames * total
-        print(json.dumps({"which": "default_mega", "sec_per_frame":
-                          round(dt, 4), "rays_per_sec": round(rays / dt, 1)}),
-              flush=True)
-        mega_dt = dt
-    else:
-        mega_dt = None
+
+        def run_mega(k):
+            img, aux = render_default_mega(k, scene, cam, cfg,
+                                           r_tile=1024, pix_mux=32)
+            return jnp.sum(img), aux["avg_path_length"]
+
+        mega_dt, plen = measure(run_mega, key, args.frames)
+        print(json.dumps({
+            "which": "default_mega", "sec_per_frame": round(mega_dt, 4),
+            "rays_per_sec": round(plen * total / mega_dt, 1)}), flush=True)
 
     from rlrpt_tpu.integrators.sarsa_wavefront import (
         render_frame_sarsa_wavefront)
@@ -84,28 +128,24 @@ def main(argv=None):
                       "grid_cells": int(grid.payload.shape[0]),
                       "k_max": int(grid.k_max)}), flush=True)
 
-    img, vols2, aux = render_frame_sarsa_wavefront(
-        key, scene, cam, vols, grid, cfg, rl, pix_mux=args.pix_mux)
-    jnp.sum(img).block_until_ready()
+    # NOTE: learning mutates the Q-table, but frame cost does not depend on
+    # the Q values (static shapes, fixed iteration structure), so rendering
+    # each timed frame from the same initial `vols` is a fair steady-state
+    # measurement and keeps `measure` trials independent.
+    last_aux = {}
 
-    t0 = time.perf_counter()
-    acc = jnp.float32(0.0)
-    paths = []
-    v = vols
-    for i in range(args.frames):
-        img, v, aux = render_frame_sarsa_wavefront(
-            jax.random.fold_in(key, i), scene, cam, v, grid, cfg, rl,
-            pix_mux=args.pix_mux)
-        paths.append(aux["avg_path_length"])
-        acc = acc + jnp.sum(img)
-    float(acc)
-    dt = (time.perf_counter() - t0) / args.frames
-    rays = sum(float(p) for p in paths) / args.frames * total
+    def run_sarsa(k):
+        img, _, aux = render_frame_sarsa_wavefront(
+            k, scene, cam, vols, grid, cfg, rl, pix_mux=args.pix_mux)
+        last_aux["iters"] = aux["wavefront_iterations"]
+        return jnp.sum(img), aux["avg_path_length"]
+
+    dt, plen = measure(run_sarsa, key, args.frames)
     out = {"which": "sarsa_wavefront", "sec_per_frame": round(dt, 4),
-           "rays_per_sec": round(rays / dt, 1),
-           "iters": int(aux["wavefront_iterations"])}
-    if mega_dt:
-        out["overhead_vs_default"] = round(dt / mega_dt, 3)
+           "rays_per_sec": round(plen * total / dt, 1),
+           "iters": int(last_aux["iters"])}
+    if wf_dt:
+        out["overhead_vs_default_wavefront"] = round(dt / wf_dt - 1.0, 3)
     print(json.dumps(out), flush=True)
 
 

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from rlrpt_tpu.camera import Camera
 from rlrpt_tpu.config import RenderConfig
+from rlrpt_tpu.utils.profiling import host_fence
 
 
 def _build_scene(name: str):
@@ -61,14 +62,14 @@ def run_scaling(scene, camera, cfg: RenderConfig, sizes, repeats: int = 3):
 
         # Warm-up / compile.
         img, aux = render_default_dp(key, scene, camera, cfg, mesh=mesh)
-        jax.block_until_ready(img)
+        host_fence(img)
 
         best = float("inf")
         for r in range(repeats):
             t0 = time.perf_counter()
             img, aux = render_default_dp(jax.random.fold_in(key, r), scene,
                                          camera, cfg, mesh=mesh)
-            jax.block_until_ready(img)
+            host_fence(img)
             best = min(best, time.perf_counter() - t0)
 
         total_segments = (float(aux["avg_path_length"])

@@ -4,7 +4,11 @@ The reference times phases with std::chrono behind a compile-time TIMING
 flag (deep_learning_settings.h:20, neural_q_pathtracer.cu:281-284) and
 frames with SDL_GetTicks (main.cu:43-49).  TPU equivalents:
 
-* `phase_timer` — wall-clock a named phase with block_until_ready (the
+* `host_fence` — a reliable completion fence: over a tunnelled backend
+  (axon) `block_until_ready` can return while work is still queued, so
+  the only dependable fence is materialising a host value that
+  data-depends on the output;
+* `phase_timer` — wall-clock a named phase, fenced with host_fence (the
   std::chrono equivalent that is correct under async dispatch);
 * `trace` — wrap a region in a jax.profiler trace (view in TensorBoard /
   xprof);
@@ -18,17 +22,34 @@ import time
 from typing import Iterator, Optional
 
 import jax
+import jax.numpy as jnp
+
+
+def host_fence(tree) -> float:
+    """Wait for every array in `tree` by materialising a dependent scalar.
+
+    `block_until_ready` is not a reliable fence over the axon tunnel (it
+    can return while execution is still queued remotely); fetching a host
+    value that data-depends on the output is.  The probe reads one element
+    per leaf, so the device cost is negligible and there is exactly one
+    host round-trip.  Returns the probe sum (useful to defeat DCE).
+    """
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if isinstance(l, jax.Array) and l.size]
+    if not leaves:
+        return 0.0
+    return float(sum(jnp.ravel(l)[0].astype(jnp.float32) for l in leaves))
 
 
 @contextlib.contextmanager
 def phase_timer(name: str, result: Optional[object] = None,
                 verbose: bool = True) -> Iterator[dict]:
-    """Times a phase; blocks on `out['value']` if the body sets it."""
+    """Times a phase; fences on `out['value']` if the body sets it."""
     out: dict = {}
     t0 = time.perf_counter()
     yield out
     if "value" in out:
-        jax.block_until_ready(out["value"])
+        host_fence(out["value"])
     out["seconds"] = time.perf_counter() - t0
     if verbose:
         print(f"{name}: {out['seconds']:.3f}s")
