@@ -56,8 +56,13 @@ from rlrpt_tpu.camera import Camera
 from rlrpt_tpu.config import RadianceVolumeConfig, RenderConfig
 from rlrpt_tpu.integrators.wavefront import _primary_dirs
 from rlrpt_tpu.ops import hemisphere as hs
-from rlrpt_tpu.ops.intersect_pallas import closest_hit_packed, pack_triangles
-from rlrpt_tpu.radiance.grid_bucket import VolumeGrid, find_closest_volume_grid
+from rlrpt_tpu.ops.intersect_pallas import (closest_hit_packed,
+                                            closest_hit_packed_mxu,
+                                            pack_triangles,
+                                            pack_triangles_mxu)
+from rlrpt_tpu.radiance.grid_bucket import (VolumeClassTable, VolumeGrid,
+                                            find_closest_volume_grid,
+                                            find_closest_volume_table)
 from rlrpt_tpu.radiance.volumes import (RadianceVolumes,
                                         apply_sarsa_contributions,
                                         irradiance_estimates, rebuild_cdf,
@@ -121,7 +126,8 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                                 cfg: RenderConfig, rl: RadianceVolumeConfig,
                                 pix_mux: int = 1, axis_name=None,
                                 interpret: bool = False,
-                                pix_lo=0, n_pix_local: int | None = None):
+                                pix_lo=0, n_pix_local: int | None = None,
+                                hit_mode: str = "mxu"):
     """One frame of regenerative SARSA tracing (no CDF rebuild, no jit).
 
     Returns (image_sum (n_pix_local,3) — SUM over spp, divide by spp for
@@ -142,7 +148,16 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
     pix_lo = jnp.int32(pix_lo)
     spp = cfg.samples_per_pixel
     w0 = -(-n_local // pix_mux)        # slots; slot s owns s + k*w0, k<mux
-    tris = pack_triangles(scene)
+    # hit_mode "mxu": compensated-bf16 MXU matmul sweep (see
+    # integrators.wavefront); "f32": the exact elementwise Cramer kernel.
+    if hit_mode == "mxu":
+        tris = pack_triangles_mxu(scene)
+        hit_fn = closest_hit_packed_mxu
+    elif hit_mode == "f32":
+        tris = pack_triangles(scene)
+        hit_fn = closest_hit_packed
+    else:
+        raise ValueError(f"hit_mode must be 'mxu' or 'f32', got {hit_mode!r}")
     ns = scene.n_surfaces
     two_pi_over_s = jnp.float32(2.0 * jnp.pi / vols.n_sectors)
 
@@ -195,15 +210,21 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
             m = jnp.where(jnp.any(act), m, 0).astype(jnp.int32)
 
             # ---- closest hit up to the last live lane ---------------------
-            t, tri = closest_hit_packed(o, d, tris, m, interpret=interpret)
+            t, tri = hit_fn(o, d, tris, m, interpret=interpret)
             missed = act & (t >= _INF_CUT)
             hit_light = act & ~missed & (tri >= ns)
             hit_surface = act & ~missed & (tri < ns)
             hit_pos = o + t[:, None] * d
             normal = scene.normal[tri]
 
-            # ---- nearest volume at the new vertex (bucketed) --------------
-            next_vol = find_closest_volume_grid(grid, hit_pos, normal)
+            # ---- nearest volume at the new vertex -------------------------
+            # (dispatch on the search structure at trace time: the answer
+            # table is one 64-byte row gather/ray; the bucket grid gathers
+            # a 2 KB candidate row — measured ~80% of the SARSA frame)
+            if isinstance(grid, VolumeClassTable):
+                next_vol = find_closest_volume_table(grid, hit_pos, tri)
+            else:
+                next_vol = find_closest_volume_grid(grid, hit_pos, normal)
 
             # ---- TD update of the previously chosen sector ----------------
             # (ref: reinforcement_path_tracing.cu:69-78; targets per hit
@@ -374,11 +395,13 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
             state.td_count)
 
 
-@partial(jax.jit, static_argnames=("cfg", "rl", "pix_mux", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "rl", "pix_mux", "interpret",
+                                   "hit_mode"))
 def render_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                                  vols: RadianceVolumes, grid: VolumeGrid,
                                  cfg: RenderConfig, rl: RadianceVolumeConfig,
-                                 pix_mux: int = 1, interpret: bool = False):
+                                 pix_mux: int = 1, interpret: bool = False,
+                                 hit_mode: str = "mxu"):
     """Render one frame while learning; returns (image, volumes, aux).
 
     Drop-in fast replacement for reinforcement_tracer.render_frame_sarsa:
@@ -388,7 +411,7 @@ def render_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
     image_sum, vols, path_sum, zclp, iters, td_count = \
         trace_frame_sarsa_wavefront(
             key, scene, camera, vols, grid, cfg, rl, pix_mux=pix_mux,
-            interpret=interpret)
+            interpret=interpret, hit_mode=hit_mode)
     vols = rebuild_cdf(vols, rl.distribution_threshold)
     total = cfg.n_pixels * cfg.samples_per_pixel
     img = (image_sum / cfg.samples_per_pixel).reshape(

@@ -36,7 +36,10 @@ import jax.numpy as jnp
 from rlrpt_tpu.camera import Camera, rotate_dirs
 from rlrpt_tpu.config import RHO, RenderConfig
 from rlrpt_tpu.ops.hemisphere import sample_uniform_direction
-from rlrpt_tpu.ops.intersect_pallas import closest_hit_packed, pack_triangles
+from rlrpt_tpu.ops.intersect_pallas import (closest_hit_packed,
+                                            closest_hit_packed_mxu,
+                                            pack_triangles,
+                                            pack_triangles_mxu)
 from rlrpt_tpu.scene.scene import Scene
 
 _INF_CUT = jnp.float32(1.0e38)
@@ -68,16 +71,27 @@ def _primary_dirs(key, pixel, camera: Camera, cfg: RenderConfig):
     return rotate_dirs(d, camera.yaw_y, camera.yaw_x)
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "interpret", "hit_mode"))
 def render_wavefront(key, scene: Scene, camera: Camera, cfg: RenderConfig,
-                     interpret: bool = False):
+                     interpret: bool = False, hit_mode: str = "mxu"):
     """Render a frame; returns (image (H,W,3), aux) — statistically
     identical to render_default at the same sample budget."""
     n_pix = cfg.n_pixels
     w = n_pix
     spp = cfg.samples_per_pixel
     total = n_pix * spp
-    tris = pack_triangles(scene)
+    # hit_mode "mxu": compensated-bf16 MXU matmul sweep (the megakernel's
+    # formulation; ~1.5e-5 relative on the matmul entries, estimator bias
+    # at the MC noise floor per tools/precision_check.py); "f32": the exact
+    # elementwise Cramer kernel.
+    if hit_mode == "mxu":
+        tris = pack_triangles_mxu(scene)
+        hit_fn = closest_hit_packed_mxu
+    elif hit_mode == "f32":
+        tris = pack_triangles(scene)
+        hit_fn = closest_hit_packed
+    else:
+        raise ValueError(f"hit_mode must be 'mxu' or 'f32', got {hit_mode!r}")
     ns = scene.n_surfaces
     arange_w = jnp.arange(w, dtype=jnp.int32)
 
@@ -119,7 +133,7 @@ def render_wavefront(key, scene: Scene, camera: Camera, cfg: RenderConfig,
         m = jnp.where(jnp.any(act), m, 0).astype(jnp.int32)
 
         # ---- closest hit up to the last live lane -----------------------
-        t, tri = closest_hit_packed(o, d, tris, m, interpret=interpret)
+        t, tri = hit_fn(o, d, tris, m, interpret=interpret)
         missed = act & (t >= _INF_CUT)
         hit_light = act & ~missed & (tri >= ns)
         hit_surface = act & ~missed & (tri < ns)

@@ -113,6 +113,79 @@ def _hit_kernel(count_ref, rays_ref, tris_ref, t_ref, idx_ref, *,
         idx_ref[:, :] = jnp.zeros((8, r_tile), jnp.int32)
 
 
+def _hit_kernel_mxu(count_ref, rays_ref, g_ref, t_ref, idx_ref, *,
+                    n_chunks: int, t_chunk: int, t_pad: int, r_tile: int):
+    """MXU closest hit: the megakernel's matmul formulation (ops.megakernel
+    module docstring) as a standalone t/index kernel.
+
+    Each Moller-Trumbore determinant is linear in the 16 ray features
+    f = [o, d, o (x) d, 1], so a triangle chunk's whole sweep is ONE
+    compensated-bf16 matmul [Gh|Gh|Gl] @ [fh;fl;fh] (K=48 zero-pads to the
+    MXU's 128 contraction lanes like K=16 would; ~1.5e-5 relative error)
+    followed by a short VPU epilogue — vs ~35 full (T, R) VPU ops for the
+    elementwise Cramer kernel above (measured 7x slower per segment than
+    the megakernel's sweep at the bench shape).
+    """
+    tile = pl.program_id(0)
+
+    @pl.when(tile * r_tile < count_ref[0])
+    def _():
+        ox = rays_ref[0, :][None, :]
+        oy = rays_ref[1, :][None, :]
+        oz = rays_ref[2, :][None, :]
+        dx = rays_ref[3, :][None, :]
+        dy = rays_ref[4, :][None, :]
+        dz = rays_ref[5, :][None, :]
+        one = jnp.ones((1, r_tile), jnp.float32)
+
+        f = jnp.concatenate([
+            ox, oy, oz, dx, dy, dz,
+            ox * dx, ox * dy, ox * dz,
+            oy * dx, oy * dy, oy * dz,
+            oz * dx, oz * dy, oz * dz,
+            one,
+        ], axis=0)                                        # (16, r)
+        f_hi = f.astype(jnp.bfloat16)
+        f_lo = (f - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        f48 = jnp.concatenate([f_hi, f_lo, f_hi], axis=0)  # (48, r)
+
+        best_t = jnp.full((1, r_tile), INF, jnp.float32)
+        best_i = jnp.zeros((1, r_tile), jnp.int32)
+        for c in range(n_chunks):
+            q = jax.lax.dot_general(
+                g_ref[pl.ds(4 * c * t_chunk, 4 * t_chunk), :], f48,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (4*t_chunk, r)
+            det = q[0 * t_chunk:1 * t_chunk]
+            up = q[1 * t_chunk:2 * t_chunk]
+            vp = q[2 * t_chunk:3 * t_chunk]
+            tq = q[3 * t_chunk:4 * t_chunk]
+            # Sign tests multiplied through by det (det == 0 is subsumed:
+            # tq*det == 0 fails > 0); division discarded by the where.
+            a = up * det
+            b = vp * det
+            valid = ((a >= 0.0) & (b >= 0.0) & (a + b <= det * det)
+                     & (tq * det > 0.0))
+            tt = jnp.where(valid, tq / det, INF)          # (t_chunk, r)
+
+            cmin = jnp.min(tt, axis=0, keepdims=True)
+            tri_ids = jax.lax.broadcasted_iota(jnp.int32,
+                                               (t_chunk, r_tile), 0)
+            hit_ids = jnp.where(tt == cmin, tri_ids, t_pad)
+            cidx = jnp.min(hit_ids, axis=0, keepdims=True) + c * t_chunk
+            take = cmin < best_t                 # strict: lowest chunk wins
+            best_i = jnp.where(take, cidx, best_i)
+            best_t = jnp.where(take, cmin, best_t)
+
+        t_ref[:, :] = jnp.broadcast_to(best_t, (8, r_tile))
+        idx_ref[:, :] = jnp.broadcast_to(best_i, (8, r_tile))
+
+    @pl.when(tile * r_tile >= count_ref[0])
+    def _():
+        t_ref[:, :] = jnp.full((8, r_tile), INF, jnp.float32)
+        idx_ref[:, :] = jnp.zeros((8, r_tile), jnp.int32)
+
+
 def pack_triangles(scene: Scene) -> jnp.ndarray:
     """Scene triangles -> (T_pad, 16) kernel layout (traceable; pad
     triangles are degenerate so det == 0 and they never hit)."""
@@ -125,6 +198,73 @@ def pack_triangles(scene: Scene) -> jnp.ndarray:
     packed = jnp.concatenate(
         [v0, e1, e2, jnp.zeros((t, 7), jnp.float32)], axis=1)   # (T, 16)
     return jnp.pad(packed, ((0, t_pad - t), (0, 0)))
+
+
+def pack_triangles_mxu(scene: Scene) -> jnp.ndarray:
+    """Scene triangles -> fused compensated-bf16 MT coefficient table
+    [Gh | Gh | Gl] (4*T_pad, 48) for closest_hit_packed_mxu (row-group
+    layout from ops.megakernel.mt_tables: chunk c = rows
+    [4*c*t_chunk, 4*(c+1)*t_chunk) as [det | u' | v' | t'])."""
+    from rlrpt_tpu.ops.megakernel import _split_bf16, mt_tables
+    g, _ = mt_tables(scene)
+    g_hi, g_lo = _split_bf16(g)
+    return jnp.concatenate([g_hi, g_hi, g_lo], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "r_tile"))
+def closest_hit_packed_mxu(o: jnp.ndarray, d: jnp.ndarray, g48: jnp.ndarray,
+                           active_count: jnp.ndarray,
+                           interpret: bool = False, r_tile: int = R_TILE):
+    """Closest hit via the MXU matmul sweep (see _hit_kernel_mxu).
+
+    Same contract as closest_hit_packed but takes the pack_triangles_mxu
+    table; intersection distances carry the compensated-bf16 error
+    (~1.5e-5 relative — at the estimator's MC noise floor, see
+    tools/precision_check.py).  Returns (t (R,), tri_idx (R,) int32).
+    """
+    from rlrpt_tpu.ops.megakernel import T_CHUNK
+
+    r = o.shape[0]
+    r_pad = int(math.ceil(r / r_tile) * r_tile)
+    rays = jnp.zeros((8, r_pad), jnp.float32)
+    rays = rays.at[0:3, :r].set(o.T)
+    rays = rays.at[3:6, :r].set(d.T)
+
+    n_tiles = r_pad // r_tile
+    t_pad = g48.shape[0] // 4
+    t_chunk = min(t_pad, T_CHUNK)
+    n_chunks = t_pad // t_chunk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, r_tile), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(g48.shape, lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, r_tile), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, r_tile), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    t, idx = pl.pallas_call(
+        functools.partial(_hit_kernel_mxu, n_chunks=n_chunks,
+                          t_chunk=t_chunk, t_pad=t_pad, r_tile=r_tile),
+        out_shape=[
+            jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, r_pad), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 48 * r_pad * 4 * t_pad, transcendentals=0,
+            bytes_accessed=(8 * r_pad + 96 * t_pad) * 4),
+    )(jnp.asarray(active_count, jnp.int32).reshape(1), rays, g48)
+    return t[0, :r], idx[0, :r]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "r_tile"))

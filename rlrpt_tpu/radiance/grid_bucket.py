@@ -132,6 +132,146 @@ def build_volume_grid(vols: RadianceVolumes, cell_size: float | None = None,
                       dims=(nx, ny, nz), k_max=k_max)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VolumeClassTable:
+    """Precomputed nearest-volume answer table (the fastest search path).
+
+    The bucketed search (VolumeGrid) still gathers a (K, 8) candidate row
+    per query — 2 KB/ray, measured ~80% of the whole SARSA frame at the
+    bench point.  This table precomputes the ANSWER instead: hit normals
+    are always one of the scene's per-triangle normals (a small set of
+    "normal classes"), so for a fine spatial cell the query result
+    "nearest volume with exactly this normal" is one of <= n_slots
+    class answers stored in the cell's row.  A query is then ONE 64-byte
+    row gather + a per-triangle class lookup — no per-candidate distances.
+
+    Semantics preserved from find_closest_volume_grid / the reference's
+    bounded-reach KD walk (radiance_map.cu:150-203): nearest same-class
+    volume within reach, else nearest any-class volume within reach, else
+    volume 0 (the reference's fallback).  The approximation: answers are
+    computed at CELL CENTRES, so the effective query position is
+    quantised by half a cell (default cell = a quarter of the bucket
+    grid's, i.e. ~the volume cloud's median spacing / 1.3) — a
+    perturbation of the same order as the reference's own walk-order
+    truncation, validated statistically in tests/test_grid_bucket.py.
+    """
+    table: jnp.ndarray      # (C, 16) int32 row: [cls0, ans0, ... cls3,
+                            # ans3, fallback, has_any, pad...]; cls == -1
+                            # marks an empty slot
+    tri_class: jnp.ndarray  # (T,) int32 normal-class id per scene triangle
+    origin: jnp.ndarray     # (3,) f32 AABB lower corner
+    inv_cell: jnp.ndarray   # scalar f32
+    dims: tuple = dataclasses.field(metadata=dict(static=True))
+    n_slots: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_volume_class_table(vols: RadianceVolumes, scene,
+                             cell_size: float | None = None,
+                             n_slots: int = 4,
+                             margin: float = 1e-3) -> VolumeClassTable:
+    """Host-side (numpy + cKDTree) construction of the answer table.
+
+    reach (how far a class answer may be from the cell) defaults to 1.5x
+    the bucket grid's cell — the same neighbourhood the VolumeGrid search
+    covers, itself modelled on the reference's KD pruning reach.
+    """
+    from scipy.spatial import cKDTree
+
+    pos = np.asarray(vols.position, np.float32)
+    nrm = np.asarray(vols.normal, np.float32)
+    tri_nrm = np.asarray(scene.normal, np.float32)
+
+    coarse = max(REFERENCE_REACH, 3.0 * _median_nn_distance(pos))
+    cell = float(cell_size) if cell_size is not None else coarse / 4.0
+    reach = 1.5 * coarse
+
+    # Normal classes over the union of triangle and volume normals
+    # (volumes inherit their triangle's normal, so byte-exact grouping is
+    # a pure integer id assignment).
+    all_nrm = np.ascontiguousarray(
+        np.concatenate([tri_nrm, nrm], axis=0))
+    _, inv = np.unique(all_nrm.view([("", all_nrm.dtype)] * 3),
+                       return_inverse=True)
+    inv = inv.reshape(-1)
+    tri_class = inv[:len(tri_nrm)].astype(np.int32)
+    vol_class = inv[len(tri_nrm):].astype(np.int32)
+
+    lo = pos.min(axis=0) - margin
+    hi = pos.max(axis=0) + margin
+    dims = np.maximum(1, np.ceil((hi - lo) / cell).astype(np.int64))
+    nx, ny, nz = (int(dims[0]), int(dims[1]), int(dims[2]))
+    c = nx * ny * nz
+
+    gx, gy, gz = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                             indexing="ij")
+    centres = (lo + (np.stack([gx, gy, gz], axis=-1).reshape(-1, 3) + 0.5)
+               * cell).astype(np.float32)                    # (C, 3)
+
+    table = np.full((c, 16), -1, np.int32)
+    table[:, 8] = 0                                          # fallback
+    table[:, 9] = 0                                          # has_any
+
+    # ONE k-NN query (not one per class — scenes like bunny have
+    # thousands of single-triangle classes): per near-surface cell the 64
+    # nearest volumes within reach, exactly the bucket search's
+    # k_max-truncated candidate set evaluated at the cell centre; then
+    # fill the class slots first-come (candidates arrive distance-sorted,
+    # so each class's first occurrence IS its nearest volume).
+    tree_all = cKDTree(pos)
+    k_cand = min(64, len(pos))
+    d1, _ = tree_all.query(centres, distance_upper_bound=reach)
+    near = np.flatnonzero(np.isfinite(d1))
+    if len(near):
+        d, j = tree_all.query(centres[near], k=k_cand,
+                              distance_upper_bound=reach)
+        d = d.reshape(len(near), k_cand)
+        j = j.reshape(len(near), k_cand)
+        table[near, 8] = j[:, 0].astype(np.int32)            # nearest any
+        table[near, 9] = 1
+
+        slot_cls = np.full((len(near), n_slots), -1, np.int64)
+        slot_ans = np.full((len(near), n_slots), 0, np.int32)
+        n_free = np.zeros(len(near), np.int64)               # next free slot
+        for k in range(k_cand):
+            ok = np.isfinite(d[:, k])
+            cl = np.where(ok, vol_class[np.where(ok, j[:, k], 0)], -2)
+            already = (slot_cls == cl[:, None]).any(axis=1)
+            ins = ok & ~already & (n_free < n_slots)
+            rows = np.flatnonzero(ins)
+            slot_cls[rows, n_free[rows]] = cl[rows]
+            slot_ans[rows, n_free[rows]] = j[rows, k].astype(np.int32)
+            n_free[rows] += 1
+        table[near, 0:2 * n_slots:2] = slot_cls.astype(np.int32)
+        table[near, 1:2 * n_slots:2] = slot_ans
+
+    return VolumeClassTable(table=jnp.asarray(table),
+                            tri_class=jnp.asarray(tri_class),
+                            origin=jnp.asarray(lo, jnp.float32),
+                            inv_cell=jnp.float32(1.0 / cell),
+                            dims=(nx, ny, nz), n_slots=n_slots)
+
+
+def find_closest_volume_table(tb: VolumeClassTable, qpos: jnp.ndarray,
+                              tri: jnp.ndarray) -> jnp.ndarray:
+    """Nearest volume per query via the precomputed answer table.
+
+    qpos (N, 3) hit positions, tri (N,) int32 hit-triangle ids (the hit
+    normal IS the triangle's normal, so the class filter is an integer
+    compare).  Returns (N,) int32 volume indices.
+    """
+    nx, ny, nz = tb.dims
+    co = jnp.clip(((qpos - tb.origin) * tb.inv_cell).astype(jnp.int32),
+                  0, jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32))
+    cell = (co[:, 0] * ny + co[:, 1]) * nz + co[:, 2]         # (N,)
+    row = tb.table[cell]                                      # (N, 16)
+    cls = tb.tri_class[tri]                                   # (N,)
+    ans = row[:, 8]                                           # fallback
+    for s in range(tb.n_slots - 1, -1, -1):
+        ans = jnp.where(row[:, 2 * s] == cls, row[:, 2 * s + 1], ans)
+    return ans.astype(jnp.int32)
+
+
 def find_closest_volume_grid(grid: VolumeGrid, qpos: jnp.ndarray,
                              qnorm: jnp.ndarray) -> jnp.ndarray:
     """Nearest volume (normal-filtered) per query via the bucket table.

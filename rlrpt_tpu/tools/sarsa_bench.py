@@ -80,6 +80,9 @@ def main(argv=None):
     ap.add_argument("--pix-mux", type=int, default=1)
     ap.add_argument("--skip-mega", action="store_true")
     ap.add_argument("--skip-wavefront", action="store_true")
+    ap.add_argument("--search", choices=("table", "grid"), default="table",
+                    help="volume search: precomputed class-answer table "
+                         "(fast) or bucketed candidate grid")
     args = ap.parse_args(argv)
 
     cfg = RenderConfig(width=args.width, height=args.height,
@@ -123,10 +126,18 @@ def main(argv=None):
 
     rl = RadianceVolumeConfig(area_per_sample=args.area_per_sample)
     vols = build_radiance_volumes(scene, rl)
-    grid = build_volume_grid(vols)
-    print(json.dumps({"n_volumes": int(vols.n_volumes),
-                      "grid_cells": int(grid.payload.shape[0]),
-                      "k_max": int(grid.k_max)}), flush=True)
+    if args.search == "table":
+        from rlrpt_tpu.radiance.grid_bucket import build_volume_class_table
+        grid = build_volume_class_table(vols, scene)
+        print(json.dumps({"n_volumes": int(vols.n_volumes),
+                          "search": "table",
+                          "cells": int(grid.table.shape[0])}), flush=True)
+    else:
+        grid = build_volume_grid(vols)
+        print(json.dumps({"n_volumes": int(vols.n_volumes),
+                          "search": "grid",
+                          "grid_cells": int(grid.payload.shape[0]),
+                          "k_max": int(grid.k_max)}), flush=True)
 
     # NOTE: learning mutates the Q-table, but frame cost does not depend on
     # the Q values (static shapes, fixed iteration structure), so rendering

@@ -32,6 +32,84 @@ def _surface_queries(scene, n_per_tri=4, seed=7):
             jnp.asarray(np.asarray(scene.normal[:ns], np.float32)[tri]))
 
 
+def test_class_table_matches_grid_on_surface_points():
+    """The precomputed answer table agrees with the bucket search on a
+    large majority of surface queries; disagreements must still return a
+    normal-matched volume at a comparable (cell-quantised) distance."""
+    from rlrpt_tpu.radiance.grid_bucket import (build_volume_class_table,
+                                                find_closest_volume_table)
+    rng = np.random.default_rng(7)
+    scene = cornell_box()
+    rl = RadianceVolumeConfig(area_per_sample=0.01)
+    vols = build_radiance_volumes(scene, rl)
+    grid = build_volume_grid(vols)
+    tb = build_volume_class_table(vols, scene)
+
+    ns = scene.n_surfaces
+    tri = rng.integers(0, ns, 4000)
+    u, v = rng.random(4000), rng.random(4000)
+    fold = u + v > 1
+    u[fold], v[fold] = 1 - u[fold], 1 - v[fold]
+    v0 = np.asarray(scene.v0)[tri]
+    e1 = np.asarray(scene.v1)[tri] - v0
+    e2 = np.asarray(scene.v2)[tri] - v0
+    p = (v0 + u[:, None] * e1 + v[:, None] * e2).astype(np.float32)
+    nrm = np.asarray(scene.normal, np.float32)[tri]
+
+    a_g = np.asarray(find_closest_volume_grid(grid, jnp.asarray(p),
+                                              jnp.asarray(nrm)))
+    a_t = np.asarray(find_closest_volume_table(tb, jnp.asarray(p),
+                                               jnp.asarray(tri,
+                                                           jnp.int32)))
+    assert (a_g == a_t).mean() > 0.7
+    vnrm = np.asarray(vols.normal)
+    match_t = (vnrm[a_t] == nrm).all(axis=1).mean()
+    match_g = (vnrm[a_g] == nrm).all(axis=1).mean()
+    assert match_t > match_g - 0.02
+    pos = np.asarray(vols.position)
+    d_t = np.linalg.norm(pos[a_t] - p, axis=1)
+    d_g = np.linalg.norm(pos[a_g] - p, axis=1)
+    # table answers may be off by ~a cell's quantisation, never by more
+    assert np.mean(d_t) < np.mean(d_g) + 1.5 / float(tb.inv_cell)
+
+
+def test_class_table_sarsa_learning_matches_grid():
+    """Whole-integrator gate: SARSA learning trajectories through the two
+    search structures are statistically identical."""
+    from rlrpt_tpu.camera import Camera
+    from rlrpt_tpu.config import RenderConfig
+    from rlrpt_tpu.integrators.sarsa_wavefront import (
+        render_frame_sarsa_wavefront)
+    from rlrpt_tpu.radiance.grid_bucket import build_volume_class_table
+
+    scene = cornell_box()
+    rl = RadianceVolumeConfig(area_per_sample=0.02)
+    cfg = RenderConfig(width=64, height=64, samples_per_pixel=4,
+                       max_ray_bounces=8)
+    cam = Camera.create([0.0, 0.0, -3.0])
+    vols0 = build_radiance_volumes(scene, rl)
+    grid = build_volume_grid(vols0)
+    tb = build_volume_class_table(vols0, scene)
+    key = jax.random.PRNGKey(7)
+
+    stats = {}
+    for name, st in (("grid", grid), ("table", tb)):
+        vols = vols0
+        for f in range(2):
+            img, vols, aux = render_frame_sarsa_wavefront(
+                jax.random.fold_in(key, f), scene, cam, vols, st, cfg, rl,
+                interpret=True)
+        stats[name] = (float(aux["avg_path_length"]),
+                       int(aux["zero_contribution_light_paths"]),
+                       float(jnp.mean(img)))
+    pg, zg, mg = stats["grid"]
+    pt, zt, mt = stats["table"]
+    assert abs(pt - pg) / pg < 0.05
+    assert abs(zt - zg) / max(zg, 1) < 0.05
+    # frame-mean MC noise at this budget is ~2-3%; 6% bounds the drift
+    assert abs(mt - mg) / mg < 0.06
+
+
 def test_grid_matches_dense_on_surface_points():
     scene = cornell_box()
     rl = RadianceVolumeConfig(area_per_sample=0.01)
