@@ -56,17 +56,20 @@ from rlrpt_tpu.camera import Camera
 from rlrpt_tpu.config import RadianceVolumeConfig, RenderConfig
 from rlrpt_tpu.integrators.wavefront import _primary_dirs
 from rlrpt_tpu.ops import hemisphere as hs
-from rlrpt_tpu.ops.intersect_pallas import (closest_hit_packed,
-                                            closest_hit_packed_mxu,
-                                            pack_triangles,
-                                            pack_triangles_mxu)
+from rlrpt_tpu.ops.intersect_pallas import (closest_hit_mat_mxu,
+                                            closest_hit_packed,
+                                            pack_scene_mxu, pack_triangles)
+from rlrpt_tpu.ops.linalg import make_frame
 from rlrpt_tpu.radiance.grid_bucket import (VolumeClassTable, VolumeGrid,
                                             find_closest_volume_grid,
                                             find_closest_volume_table)
 from rlrpt_tpu.radiance.volumes import (RadianceVolumes,
                                         apply_sarsa_contributions,
+                                        hier_cdf_tables,
                                         irradiance_estimates, rebuild_cdf,
-                                        sample_from_cdf, sarsa_contributions)
+                                        sample_from_cdf_hier,
+                                        sample_from_cdf_rows,
+                                        sarsa_contributions)
 from rlrpt_tpu.scene.scene import Scene
 
 _INF_CUT = jnp.float32(1.0e38)
@@ -96,7 +99,13 @@ class _State(NamedTuple):
     cur_brdf: jnp.ndarray     # (W,) f32 previous surface luminance / pi
     # --- global -----------------------------------------------------------
     image: jnp.ndarray        # (n_pix, 3) accumulated finished samples
-    irr: jnp.ndarray          # (V,) live per-volume irradiance estimates
+    cdfplus: jnp.ndarray      # (V, S+1): per-volume CDF rows (constant
+                              # within the frame) with the LIVE irradiance
+                              # estimate appended as column S — the TD
+                              # bootstrap rides the sampler's row gather
+                              # (one gather instead of two; gathers are
+                              # latency-bound on TPU, ~4-6 ms per 518400
+                              # queries whatever the row size)
     path_sum: jnp.ndarray     # scalar f32
     zclp: jnp.ndarray         # scalar int32 zero-contribution paths
     iters: jnp.ndarray        # scalar int32
@@ -127,7 +136,9 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                                 pix_mux: int = 1, axis_name=None,
                                 interpret: bool = False,
                                 pix_lo=0, n_pix_local: int | None = None,
-                                hit_mode: str = "mxu"):
+                                hit_mode: str = "mxu",
+                                sampler: str = "row",
+                                frame_mode: str = "hit"):
     """One frame of regenerative SARSA tracing (no CDF rebuild, no jit).
 
     Returns (image_sum (n_pix_local,3) — SUM over spp, divide by spp for
@@ -148,18 +159,32 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
     pix_lo = jnp.int32(pix_lo)
     spp = cfg.samples_per_pixel
     w0 = -(-n_local // pix_mux)        # slots; slot s owns s + k*w0, k<mux
-    # hit_mode "mxu": compensated-bf16 MXU matmul sweep (see
-    # integrators.wavefront); "f32": the exact elementwise Cramer kernel.
+    # hit_mode "mxu": compensated-bf16 MXU matmul sweep that ALSO emits
+    # the per-ray material row (normal/diffuse/emission/luminance and the
+    # search table's normal-class id), replacing five dynamic gathers;
+    # "f32": the exact elementwise Cramer kernel + per-field gathers.
+    is_table = isinstance(grid, VolumeClassTable)
     if hit_mode == "mxu":
-        tris = pack_triangles_mxu(scene)
-        hit_fn = closest_hit_packed_mxu
+        g48, m2 = pack_scene_mxu(
+            scene, tri_class=grid.tri_class if is_table else None)
     elif hit_mode == "f32":
         tris = pack_triangles(scene)
-        hit_fn = closest_hit_packed
     else:
         raise ValueError(f"hit_mode must be 'mxu' or 'f32', got {hit_mode!r}")
+    if frame_mode not in ("hit", "volume"):
+        raise ValueError(f"frame_mode must be 'hit' or 'volume', "
+                         f"got {frame_mode!r}")
     ns = scene.n_surfaces
     two_pi_over_s = jnp.float32(2.0 * jnp.pi / vols.n_sectors)
+
+    # sampler "hier": two-level inverse CDF (volumes.hier_cdf_tables) —
+    # gathers two G-entry rows per query instead of one S-entry row; the
+    # CDF is constant within the frame so the tables derive once here.
+    # "row": the reference-shaped flat row sampler.
+    if sampler == "hier":
+        cdf_c, cdf_f = hier_cdf_tables(vols.cdf, rl.grid_resolution)
+    elif sampler != "row":
+        raise ValueError(f"sampler must be 'hier' or 'row', got {sampler!r}")
 
     k_init, k_loop = jax.random.split(key)
 
@@ -179,7 +204,8 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
         cur_sector=jnp.full((w0,), -1, jnp.int32),
         cur_brdf=jnp.zeros((w0,), jnp.float32),
         image=jnp.zeros((n_local, 3), jnp.float32),
-        irr=irradiance_estimates(vols),
+        cdfplus=jnp.concatenate(
+            [vols.cdf, irradiance_estimates(vols)[:, None]], axis=1),
         path_sum=jnp.float32(0.0), zclp=jnp.int32(0), iters=jnp.int32(0),
         td_count=jnp.int32(0),
         vols=vols)
@@ -210,21 +236,41 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
             m = jnp.where(jnp.any(act), m, 0).astype(jnp.int32)
 
             # ---- closest hit up to the last live lane ---------------------
-            t, tri = hit_fn(o, d, tris, m, interpret=interpret)
+            if hit_mode == "mxu":
+                t, tri, mrow = closest_hit_mat_mxu(o, d, g48, m2, m,
+                                                   interpret=interpret)
+                normal = mrow[:, 0:3]
+                diffuse3 = mrow[:, 3:6]
+                emission3 = mrow[:, 6:9]
+                lum = mrow[:, 10]
+                cls = (jnp.round(mrow[:, 11]).astype(jnp.int32)
+                       if is_table else None)
+            else:
+                t, tri = closest_hit_packed(o, d, tris, m,
+                                            interpret=interpret)
+                normal = scene.normal[tri]
+                diffuse3 = scene.diffuse_c[tri]
+                emission3 = scene.emission[tri]
+                lum = scene.luminance[tri]
+                cls = None
             missed = act & (t >= _INF_CUT)
             hit_light = act & ~missed & (tri >= ns)
             hit_surface = act & ~missed & (tri < ns)
             hit_pos = o + t[:, None] * d
-            normal = scene.normal[tri]
 
             # ---- nearest volume at the new vertex -------------------------
             # (dispatch on the search structure at trace time: the answer
             # table is one 64-byte row gather/ray; the bucket grid gathers
             # a 2 KB candidate row — measured ~80% of the SARSA frame)
-            if isinstance(grid, VolumeClassTable):
-                next_vol = find_closest_volume_table(grid, hit_pos, tri)
+            if is_table:
+                next_vol = find_closest_volume_table(grid, hit_pos, tri,
+                                                     cls=cls)
             else:
                 next_vol = find_closest_volume_grid(grid, hit_pos, normal)
+
+            # ---- fused CDF row + irradiance-bootstrap gather --------------
+            vrow = s.cdfplus[next_vol]                       # (N, S+1)
+            irr_b = vrow[:, -1]
 
             # ---- TD update of the previously chosen sector ----------------
             # (ref: reinforcement_path_tracing.cu:69-78; targets per hit
@@ -233,8 +279,8 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
             #  racy incremental accumulator, radiance_volume.cu:94-112).
             target = jnp.where(
                 missed, cur_brdf * cfg.environment_light,
-                jnp.where(hit_light, cur_brdf * scene.luminance[tri],
-                          cur_brdf * s.irr[next_vol]))
+                jnp.where(hit_light, cur_brdf * lum,
+                          cur_brdf * irr_b))
             pending = act & (cur_sector >= 0)
             # Counted from the PRE-scatter mask, so the visits-delta
             # assertion cross-checks the segment_sum scatter itself.
@@ -250,20 +296,39 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                 cnt = jax.lax.psum(cnt, axis_name)
             vols_new = apply_sarsa_contributions(s.vols, sum_t, cnt,
                                                  rl.radiance_threshold)
-            irr_new = irradiance_estimates(vols_new)
+            cdfplus_new = jax.lax.dynamic_update_slice(
+                s.cdfplus, irradiance_estimates(vols_new)[:, None],
+                (0, s.cdfplus.shape[1] - 1))
 
             # ---- terminal contributions -----------------------------------
             contrib = (jnp.where(missed[:, None],
                                  tp * cfg.environment_light, 0.0)
                        + jnp.where(hit_light[:, None],
-                                   tp * scene.emission[tri], 0.0))
+                                   tp * emission3, 0.0))
             sample_rad = sample_rad + contrib
 
             # ---- importance-sample the next direction ---------------------
-            new_d, sector, pdf = sample_from_cdf(k_dir, vols_new, next_vol,
-                                                 rl.grid_rho)
+            # frame_mode "hit": rebuild the hemisphere frame from the hit
+            # normal with make_frame (pure math, ~0.7 ms) instead of
+            # gathering vols.frame rows (~5.8 ms); identical to the
+            # volume's own frame except when the matched volume's class
+            # differs from the hit's (fallback matches, ~3% — there the
+            # reference samples in the mismatched volume's frame, we
+            # sample in the hit surface's, both arbitrary).
+            if frame_mode == "hit":
+                fr = make_frame(normal)
+            else:
+                fr = s.vols.frame[next_vol]
+            if sampler == "hier":
+                new_d, sector, pdf = sample_from_cdf_hier(
+                    k_dir, cdf_c, cdf_f, fr, next_vol, rl.grid_rho,
+                    rl.grid_resolution)
+            else:
+                new_d, sector, pdf = sample_from_cdf_rows(
+                    k_dir, vrow[:, :-1], fr, rl.grid_rho,
+                    rl.grid_resolution)
             cos_theta = jnp.sum(normal * new_d, axis=-1)
-            brdf3 = scene.diffuse_c[tri] / jnp.pi
+            brdf3 = diffuse3 / jnp.pi
             pdf_safe = jnp.maximum(pdf, 1e-12)
 
             exhausted = hit_surface & (bounce + 1 >= cfg.max_ray_bounces)
@@ -289,8 +354,7 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
             # ref: reinforcement_path_tracing.cu:104-110).
             cur_vol = jnp.where(survive, next_vol, cur_vol)
             cur_sector = jnp.where(survive, sector, -1)
-            cur_brdf = jnp.where(survive,
-                                 scene.luminance[tri] / jnp.pi, cur_brdf)
+            cur_brdf = jnp.where(survive, lum / jnp.pi, cur_brdf)
 
             # ---- stats for finished samples -------------------------------
             done = missed | hit_light
@@ -338,7 +402,8 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                           bounce=bounce, remaining=remaining, active=active,
                           sample_rad=sample_rad, slot_rad=slot_rad,
                           cur_vol=cur_vol, cur_sector=cur_sector,
-                          cur_brdf=cur_brdf, image=s.image, irr=irr_new,
+                          cur_brdf=cur_brdf, image=s.image,
+                          cdfplus=cdfplus_new,
                           path_sum=path_sum, zclp=zclp, iters=s.iters + 1,
                           td_count=td_count, vols=vols_new)
 
@@ -396,12 +461,14 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
 
 
 @partial(jax.jit, static_argnames=("cfg", "rl", "pix_mux", "interpret",
-                                   "hit_mode"))
+                                   "hit_mode", "sampler", "frame_mode"))
 def render_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                                  vols: RadianceVolumes, grid: VolumeGrid,
                                  cfg: RenderConfig, rl: RadianceVolumeConfig,
                                  pix_mux: int = 1, interpret: bool = False,
-                                 hit_mode: str = "mxu"):
+                                 hit_mode: str = "mxu",
+                                 sampler: str = "row",
+                                 frame_mode: str = "hit"):
     """Render one frame while learning; returns (image, volumes, aux).
 
     Drop-in fast replacement for reinforcement_tracer.render_frame_sarsa:
@@ -411,7 +478,8 @@ def render_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
     image_sum, vols, path_sum, zclp, iters, td_count = \
         trace_frame_sarsa_wavefront(
             key, scene, camera, vols, grid, cfg, rl, pix_mux=pix_mux,
-            interpret=interpret, hit_mode=hit_mode)
+            interpret=interpret, hit_mode=hit_mode, sampler=sampler,
+            frame_mode=frame_mode)
     vols = rebuild_cdf(vols, rl.distribution_threshold)
     total = cfg.n_pixels * cfg.samples_per_pixel
     img = (image_sum / cfg.samples_per_pixel).reshape(

@@ -36,10 +36,9 @@ import jax.numpy as jnp
 from rlrpt_tpu.camera import Camera, rotate_dirs
 from rlrpt_tpu.config import RHO, RenderConfig
 from rlrpt_tpu.ops.hemisphere import sample_uniform_direction
-from rlrpt_tpu.ops.intersect_pallas import (closest_hit_packed,
-                                            closest_hit_packed_mxu,
-                                            pack_triangles,
-                                            pack_triangles_mxu)
+from rlrpt_tpu.ops.intersect_pallas import (closest_hit_mat_mxu,
+                                            closest_hit_packed,
+                                            pack_scene_mxu, pack_triangles)
 from rlrpt_tpu.scene.scene import Scene
 
 _INF_CUT = jnp.float32(1.0e38)
@@ -85,11 +84,9 @@ def render_wavefront(key, scene: Scene, camera: Camera, cfg: RenderConfig,
     # at the MC noise floor per tools/precision_check.py); "f32": the exact
     # elementwise Cramer kernel.
     if hit_mode == "mxu":
-        tris = pack_triangles_mxu(scene)
-        hit_fn = closest_hit_packed_mxu
+        g48, m2 = pack_scene_mxu(scene)
     elif hit_mode == "f32":
         tris = pack_triangles(scene)
-        hit_fn = closest_hit_packed
     else:
         raise ValueError(f"hit_mode must be 'mxu' or 'f32', got {hit_mode!r}")
     ns = scene.n_surfaces
@@ -133,23 +130,35 @@ def render_wavefront(key, scene: Scene, camera: Camera, cfg: RenderConfig,
         m = jnp.where(jnp.any(act), m, 0).astype(jnp.int32)
 
         # ---- closest hit up to the last live lane -----------------------
-        t, tri = hit_fn(o, d, tris, m, interpret=interpret)
+        # mxu mode: the kernel emits the packed material row, replacing
+        # four small-table gathers — every dynamic gather is ~4-6 ms per
+        # 518400 lanes on TPU (latency-bound), more than the sweep itself.
+        if hit_mode == "mxu":
+            t, tri, mrow = closest_hit_mat_mxu(o, d, g48, m2, m,
+                                               interpret=interpret)
+            emission = mrow[:, 6:9]
+            normal = mrow[:, 0:3]
+            diffuse = mrow[:, 3:6]
+        else:
+            t, tri = closest_hit_packed(o, d, tris, m, interpret=interpret)
+            emission = scene.emission[tri]
+            normal = scene.normal[tri]
+            diffuse = scene.diffuse_c[tri]
         missed = act & (t >= _INF_CUT)
         hit_light = act & ~missed & (tri >= ns)
         hit_surface = act & ~missed & (tri < ns)
 
         # ---- terminal contributions (per slot, elementwise) -------------
         contrib = (jnp.where(missed[:, None], tp * cfg.environment_light, 0.0)
-                   + jnp.where(hit_light[:, None], tp * scene.emission[tri],
+                   + jnp.where(hit_light[:, None], tp * emission,
                                0.0))
         slot_rad = slot_rad + contrib
 
         # ---- diffuse bounce for survivors ------------------------------
         exhausted = hit_surface & (bounce + 1 >= cfg.max_ray_bounces)
         survive = hit_surface & ~exhausted
-        normal = scene.normal[tri]
         new_d, cos_theta = sample_uniform_direction(k_dir, normal)
-        brdf = scene.diffuse_c[tri] / jnp.pi
+        brdf = diffuse / jnp.pi
         pos3 = o + t[:, None] * d
         tp = jnp.where(survive[:, None],
                        tp * brdf * (cos_theta[:, None] / RHO), tp)

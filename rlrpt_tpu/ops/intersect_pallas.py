@@ -200,6 +200,169 @@ def pack_triangles(scene: Scene) -> jnp.ndarray:
     return jnp.pad(packed, ((0, t_pad - t), (0, 0)))
 
 
+def _hit_mat_kernel_mxu(count_ref, rays_ref, g_ref, m2_ref, t_ref, idx_ref,
+                        mat_ref, *, n_chunks: int, t_chunk: int, t_pad: int,
+                        r_tile: int):
+    """_hit_kernel_mxu + per-ray material row via a one-hot matmul.
+
+    On TPU every dynamic gather costs ~4-6 ms per 518400 queries
+    REGARDLESS of row size (latency-bound), so the integrators' four
+    small-table gathers (normal/diffuse/emission/luminance[tri]) plus the
+    class lookup cost more than the whole hit sweep.  Emitting the packed
+    material row from inside the kernel (the one-hot is already implied
+    by the argmin) replaces them all with one extra M=32 MXU pass.
+    """
+    tile = pl.program_id(0)
+
+    @pl.when(tile * r_tile < count_ref[0])
+    def _():
+        ox = rays_ref[0, :][None, :]
+        oy = rays_ref[1, :][None, :]
+        oz = rays_ref[2, :][None, :]
+        dx = rays_ref[3, :][None, :]
+        dy = rays_ref[4, :][None, :]
+        dz = rays_ref[5, :][None, :]
+        one = jnp.ones((1, r_tile), jnp.float32)
+
+        f = jnp.concatenate([
+            ox, oy, oz, dx, dy, dz,
+            ox * dx, ox * dy, ox * dz,
+            oy * dx, oy * dy, oy * dz,
+            oz * dx, oz * dy, oz * dz,
+            one,
+        ], axis=0)
+        f_hi = f.astype(jnp.bfloat16)
+        f_lo = (f - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        f48 = jnp.concatenate([f_hi, f_lo, f_hi], axis=0)
+
+        best_t = jnp.full((1, r_tile), INF, jnp.float32)
+        best_i = jnp.zeros((1, r_tile), jnp.int32)
+        mat = jnp.zeros((16, r_tile), jnp.float32)
+        for c in range(n_chunks):
+            q = jax.lax.dot_general(
+                g_ref[pl.ds(4 * c * t_chunk, 4 * t_chunk), :], f48,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            det = q[0 * t_chunk:1 * t_chunk]
+            up = q[1 * t_chunk:2 * t_chunk]
+            vp = q[2 * t_chunk:3 * t_chunk]
+            tq = q[3 * t_chunk:4 * t_chunk]
+            a = up * det
+            b = vp * det
+            valid = ((a >= 0.0) & (b >= 0.0) & (a + b <= det * det)
+                     & (tq * det > 0.0))
+            tt = jnp.where(valid, tq / det, INF)
+
+            cmin = jnp.min(tt, axis=0, keepdims=True)
+            tri_ids = jax.lax.broadcasted_iota(jnp.int32,
+                                               (t_chunk, r_tile), 0)
+            hit_ids = jnp.where(tt == cmin, tri_ids, t_pad)
+            cidx = jnp.min(hit_ids, axis=0, keepdims=True) + c * t_chunk
+            take = cmin < best_t
+            # Material fetch: one-hot against the chunk min (exact-tie
+            # double-count is measure-zero, see ops.megakernel), hi/lo
+            # bf16 rows recover f32 (and integer class ids < 2^16) exactly.
+            onehot = ((tt == cmin) & (cmin < INF)).astype(jnp.bfloat16)
+            m2 = jax.lax.dot_general(
+                m2_ref[:, pl.ds(c * t_chunk, t_chunk)], onehot,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (32, r)
+            mat_c = m2[:16] + m2[16:]
+            mat = jnp.where(take, mat_c, mat)
+            best_i = jnp.where(take, cidx, best_i)
+            best_t = jnp.where(take, cmin, best_t)
+
+        t_ref[:, :] = jnp.broadcast_to(best_t, (8, r_tile))
+        idx_ref[:, :] = jnp.broadcast_to(best_i, (8, r_tile))
+        mat_ref[:, :] = mat
+
+    @pl.when(tile * r_tile >= count_ref[0])
+    def _():
+        t_ref[:, :] = jnp.full((8, r_tile), INF, jnp.float32)
+        idx_ref[:, :] = jnp.zeros((8, r_tile), jnp.int32)
+        mat_ref[:, :] = jnp.zeros((16, r_tile), jnp.float32)
+
+
+def pack_scene_mxu(scene: Scene, tri_class: jnp.ndarray | None = None):
+    """Scene -> (g48 (4*T_pad, 48) bf16, m2 (32, T_pad) bf16) for
+    closest_hit_mat_mxu.
+
+    m2 stacks the hi-over-lo bf16 split of the megakernel material table
+    (rows: 0-2 normal, 3-5 diffuse_c, 6-8 emission, 9 is_light,
+    10 luminance); row 11 carries `tri_class` (integer normal-class ids,
+    exact through the compensated split for ids < 2^16) when given.
+    """
+    from rlrpt_tpu.ops.megakernel import _split_bf16, mt_tables
+    g, mtbl = mt_tables(scene)
+    if tri_class is not None:
+        t = tri_class.shape[0]
+        mtbl = mtbl.at[11, :t].set(jnp.asarray(tri_class, jnp.float32))
+    g_hi, g_lo = _split_bf16(g)
+    m_hi, m_lo = _split_bf16(mtbl)
+    return (jnp.concatenate([g_hi, g_hi, g_lo], axis=1),
+            jnp.concatenate([m_hi, m_lo], axis=0))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "r_tile"))
+def closest_hit_mat_mxu(o: jnp.ndarray, d: jnp.ndarray, g48: jnp.ndarray,
+                        m2: jnp.ndarray, active_count: jnp.ndarray,
+                        interpret: bool = False, r_tile: int = R_TILE):
+    """Closest hit + material row via the MXU sweep (see
+    _hit_mat_kernel_mxu / pack_scene_mxu).
+
+    Returns (t (R,), tri_idx (R,) int32, mat (R, 16) f32).
+    """
+    from rlrpt_tpu.ops.megakernel import T_CHUNK
+
+    r = o.shape[0]
+    r_pad = int(math.ceil(r / r_tile) * r_tile)
+    rays = jnp.zeros((8, r_pad), jnp.float32)
+    rays = rays.at[0:3, :r].set(o.T)
+    rays = rays.at[3:6, :r].set(d.T)
+
+    n_tiles = r_pad // r_tile
+    t_pad = g48.shape[0] // 4
+    t_chunk = min(t_pad, T_CHUNK)
+    n_chunks = t_pad // t_chunk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, r_tile), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(g48.shape, lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(m2.shape, lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, r_tile), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, r_tile), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, r_tile), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    t, idx, mat = pl.pallas_call(
+        functools.partial(_hit_mat_kernel_mxu, n_chunks=n_chunks,
+                          t_chunk=t_chunk, t_pad=t_pad, r_tile=r_tile),
+        out_shape=[
+            jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, r_pad), jnp.int32),
+            jax.ShapeDtypeStruct((16, r_pad), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 48 * r_pad * 4 * t_pad + 2 * 32 * r_pad * t_pad,
+            transcendentals=0,
+            bytes_accessed=(24 * r_pad + 128 * t_pad) * 4),
+    )(jnp.asarray(active_count, jnp.int32).reshape(1), rays, g48, m2)
+    return t[0, :r], idx[0, :r], mat[:, :r].T
+
+
 def pack_triangles_mxu(scene: Scene) -> jnp.ndarray:
     """Scene triangles -> fused compensated-bf16 MT coefficient table
     [Gh | Gh | Gl] (4*T_pad, 48) for closest_hit_packed_mxu (row-group

@@ -90,7 +90,9 @@ def mt_tables(scene: Scene):
     G rows are grouped [det | u' | v' | t'], each group T_pad rows; padding
     rows are all-zero => det == 0 => never a valid hit.  Feature order:
     f = [o(3), d(3), (o_i d_j) row-major (9), 1].
-    mtbl rows: 0-2 normal, 3-5 diffuse_c, 6-8 emission, 9 is_light, 10-15 0.
+    mtbl rows: 0-2 normal, 3-5 diffuse_c, 6-8 emission, 9 is_light,
+    10 luminance, 11-15 0 (row 11 carries the normal-class id when packed
+    by intersect_pallas.pack_scene_mxu for the SARSA fast path).
     """
     v0 = jnp.asarray(scene.v0, jnp.float32)
     e1 = jnp.asarray(scene.v1, jnp.float32) - v0
@@ -152,7 +154,8 @@ def mt_tables(scene: Scene):
         jnp.asarray(scene.diffuse_c, jnp.float32).T,
         jnp.asarray(scene.emission, jnp.float32).T,
         is_light[None, :],
-        jnp.zeros((6, t), jnp.float32),
+        jnp.asarray(scene.luminance, jnp.float32)[None, :],
+        jnp.zeros((5, t), jnp.float32),
     ], axis=0)
     mtbl = jnp.pad(mtbl, ((0, 0), (0, tp - t)))
     return g, mtbl

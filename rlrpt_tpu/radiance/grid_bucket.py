@@ -253,19 +253,23 @@ def build_volume_class_table(vols: RadianceVolumes, scene,
 
 
 def find_closest_volume_table(tb: VolumeClassTable, qpos: jnp.ndarray,
-                              tri: jnp.ndarray) -> jnp.ndarray:
+                              tri: jnp.ndarray,
+                              cls: jnp.ndarray | None = None) -> jnp.ndarray:
     """Nearest volume per query via the precomputed answer table.
 
     qpos (N, 3) hit positions, tri (N,) int32 hit-triangle ids (the hit
     normal IS the triangle's normal, so the class filter is an integer
-    compare).  Returns (N,) int32 volume indices.
+    compare).  Pass `cls` (N,) int32 to skip the tri_class gather when
+    the caller already has the class ids (e.g. from the MXU hit kernel's
+    material row).  Returns (N,) int32 volume indices.
     """
     nx, ny, nz = tb.dims
     co = jnp.clip(((qpos - tb.origin) * tb.inv_cell).astype(jnp.int32),
                   0, jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32))
     cell = (co[:, 0] * ny + co[:, 1]) * nz + co[:, 2]         # (N,)
     row = tb.table[cell]                                      # (N, 16)
-    cls = tb.tri_class[tri]                                   # (N,)
+    if cls is None:
+        cls = tb.tri_class[tri]                               # (N,)
     ans = row[:, 8]                                           # fallback
     for s in range(tb.n_slots - 1, -1, -1):
         ans = jnp.where(row[:, 2 * s] == cls, row[:, 2 * s + 1], ans)

@@ -86,12 +86,12 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
     # ---- expected SARSA: train N frames, then the test render ------------
     from rlrpt_tpu.integrators.sarsa_wavefront import (
         render_frame_sarsa_wavefront)
-    from rlrpt_tpu.radiance.grid_bucket import build_volume_grid
+    from rlrpt_tpu.radiance.grid_bucket import build_volume_class_table
     from rlrpt_tpu.radiance.volumes import build_radiance_volumes
 
     rl = RadianceVolumeConfig(area_per_sample=area_per_sample)
     vols = build_radiance_volumes(scene, rl)
-    grid = build_volume_grid(vols)
+    grid = build_volume_class_table(vols, scene)
     t0 = time.perf_counter()
     train_cfg = mk_cfg(sarsa_spp)
     for f in range(sarsa_frames):

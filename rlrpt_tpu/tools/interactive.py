@@ -55,11 +55,11 @@ def _build_renderer(mode, scene, cfg, rl, interpret):
     if mode == "sarsa":
         from rlrpt_tpu.integrators.sarsa_wavefront import (
             render_frame_sarsa_wavefront)
-        from rlrpt_tpu.radiance.grid_bucket import build_volume_grid
+        from rlrpt_tpu.radiance.grid_bucket import build_volume_class_table
         from rlrpt_tpu.radiance.volumes import build_radiance_volumes
 
         vols = build_radiance_volumes(scene, rl)
-        grid = build_volume_grid(vols)
+        grid = build_volume_class_table(vols, scene)
         state = {"vols": vols}
 
         def render(key, camera):

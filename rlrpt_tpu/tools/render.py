@@ -170,8 +170,9 @@ def main(argv=None) -> int:
             if args.mode == "sarsa-fast":
                 from rlrpt_tpu.integrators.sarsa_wavefront import \
                     render_frame_sarsa_wavefront
-                from rlrpt_tpu.radiance.grid_bucket import build_volume_grid
-                grid = build_volume_grid(vols)
+                from rlrpt_tpu.radiance.grid_bucket import \
+                    build_volume_class_table
+                grid = build_volume_class_table(vols, scene)
 
                 def frame(k, vols):
                     return render_frame_sarsa_wavefront(

@@ -141,3 +141,55 @@ def test_bsearch_sampler_matches_gather_sampler():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_hier_sampler_matches_row_sampler_distribution():
+    """Two-level inverse-CDF sampling draws from exactly the same sector
+    pmf as the flat row sampler (product decomposition); compare sector
+    histograms over many draws from a few non-uniform volumes."""
+    import dataclasses
+
+    from rlrpt_tpu.radiance.volumes import (build_radiance_volumes,
+                                            hier_cdf_tables, rebuild_cdf,
+                                            sample_from_cdf,
+                                            sample_from_cdf_hier)
+    from rlrpt_tpu.scene import cornell_box
+
+    scene = cornell_box()
+    rl = RadianceVolumeConfig(area_per_sample=0.05)
+    vols = build_radiance_volumes(scene, rl)
+    # skewed, volume-dependent Q -> non-trivial CDFs
+    key = jax.random.PRNGKey(11)
+    q = jax.random.uniform(key, vols.q.shape) ** 4 + 1e-4
+    vols = dataclasses.replace(vols, q=q)
+    vols = rebuild_cdf(vols)
+
+    n = 60000
+    vol_idx = jnp.zeros((n,), jnp.int32) + 3
+    k = jax.random.PRNGKey(5)
+    _, sec_row, pdf_row = sample_from_cdf(k, vols, vol_idx, rl.grid_rho)
+    cdf_c, cdf_f = hier_cdf_tables(vols.cdf, rl.grid_resolution)
+    fr = vols.frame[vol_idx]
+    _, sec_h, pdf_h = sample_from_cdf_hier(k, cdf_c, cdf_f, fr, vol_idx,
+                                           rl.grid_rho, rl.grid_resolution)
+    s = vols.n_sectors
+    h_row = np.bincount(np.asarray(sec_row), minlength=s) / n
+    h_h = np.bincount(np.asarray(sec_h), minlength=s) / n
+    # total-variation distance between the empirical pmfs ~ sampling noise
+    tv = 0.5 * np.abs(h_row - h_h).sum()
+    assert tv < 0.02, tv
+    # pdf values must be the pmf of the SAME distribution: group by sector
+    for sec, pdfs in ((sec_row, pdf_row), (sec_h, pdf_h)):
+        sec = np.asarray(sec)
+        pdfs = np.asarray(pdfs)
+        for smp in np.unique(sec)[:10]:
+            vals = pdfs[sec == smp]
+            np.testing.assert_allclose(vals, vals[0], rtol=2e-4)
+    # cross-check: pdf per sector identical between samplers
+    m_row = {int(a): float(b) for a, b in zip(np.asarray(sec_row),
+                                              np.asarray(pdf_row))}
+    m_h = {int(a): float(b) for a, b in zip(np.asarray(sec_h),
+                                            np.asarray(pdf_h))}
+    common = sorted(set(m_row) & set(m_h))[:20]
+    for smp in common:
+        np.testing.assert_allclose(m_row[smp], m_h[smp], rtol=2e-4)
