@@ -44,6 +44,7 @@ def trace_sample(key, o, d, scene: Scene, cfg: RenderConfig):
     """Trace one sample per pixel for the whole wavefront.
 
     Returns (radiance (R,3), path_len (R,))."""
+    scene = scene.to_device()  # no-op under jit; guards direct (un-jitted) calls
     n = o.shape[0]
 
     def cond(s: _WaveState):

@@ -63,6 +63,7 @@ def trace_sample_sarsa(key, o, d, scene: Scene, vols: RadianceVolumes,
     are psum'd across the ray axis and the early-exit flag is made uniform
     so every device runs the same trip count (collectives inside a
     while_loop require congruent loops)."""
+    scene = scene.to_device()  # no-op under jit; guards direct (un-jitted) calls
     n = o.shape[0]
 
     def any_active(a):

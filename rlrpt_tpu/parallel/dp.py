@@ -114,6 +114,7 @@ def render_frame_sarsa_dp(key, scene: Scene, camera: Camera,
     """
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
+    scene = scene.to_device()  # closed over inside jit (Scene.to_device)
 
     @jax.jit
     def frame(key, vols):
@@ -172,6 +173,7 @@ def render_frame_sarsa_wavefront_dp(key, scene: Scene, camera: Camera,
 
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
+    scene = scene.to_device()  # closed over inside jit (Scene.to_device)
     n_pix = cfg.n_pixels
     n_local = -(-n_pix // n_dev)
 
@@ -223,6 +225,7 @@ def neural_q_train_step_dp(key, scene: Scene, camera: Camera, params,
     """
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
+    scene = scene.to_device()  # closed over inside jit (Scene.to_device)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     optimizer = nq.default_optimizer(dl)

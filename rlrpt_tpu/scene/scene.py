@@ -44,6 +44,22 @@ class Scene:
     def n_triangles(self) -> int:
         return self.v0.shape[0]
 
+    def to_device(self) -> "Scene":
+        """Copy with jnp leaves.
+
+        Scenes are built with HOST numpy leaves (host consumers read them
+        without tunnelled D2H round-trips; jit calls transfer the few KB
+        per dispatch).  Functions that CLOSE OVER a scene inside jit must
+        convert first: a numpy leaf indexed by a tracer
+        (scene.normal[tri]) raises TracerArrayConversionError, a jnp leaf
+        becomes a program constant and works."""
+        return dataclasses.replace(
+            self, v0=jnp.asarray(self.v0), v1=jnp.asarray(self.v1),
+            v2=jnp.asarray(self.v2), normal=jnp.asarray(self.normal),
+            diffuse_c=jnp.asarray(self.diffuse_c),
+            emission=jnp.asarray(self.emission),
+            luminance=jnp.asarray(self.luminance))
+
     @property
     def n_lights(self) -> int:
         return self.n_triangles - self.n_surfaces
@@ -100,10 +116,16 @@ def build_scene(
     emission = np.concatenate([np.zeros((ns, 3), np.float32), light_power], axis=0)
     lum = np.concatenate([luminance(surf_rgb), luminance(light_power)], axis=0)
 
-    as_j = lambda a: jnp.asarray(a, dtype)
-    return Scene(v0=as_j(v0), v1=as_j(v1), v2=as_j(v2), normal=as_j(normal),
-                 diffuse_c=as_j(diffuse_c), emission=as_j(emission),
-                 luminance=as_j(lum), n_surfaces=ns)
+    # HOST numpy leaves, deliberately: jit calls transfer the ~tens of KB
+    # per dispatch (negligible), while host-side consumers (volume
+    # builders, the class-table/KD builds, exporters) read instantly —
+    # device-resident scene arrays cost a D2H round-trip PER FIELD over
+    # the tunnelled TPU (measured ~13 s each at process start, ~110 s per
+    # harness run just to compute triangle areas).
+    as_h = lambda a: np.asarray(a, np.dtype(dtype))
+    return Scene(v0=as_h(v0), v1=as_h(v1), v2=as_h(v2), normal=as_h(normal),
+                 diffuse_c=as_h(diffuse_c), emission=as_h(emission),
+                 luminance=as_h(lum), n_surfaces=ns)
 
 
 def surface_areas(scene: Scene) -> np.ndarray:

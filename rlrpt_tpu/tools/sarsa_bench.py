@@ -77,7 +77,9 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--bounces", type=int, default=80)
     ap.add_argument("--area-per-sample", type=float, default=0.001)
-    ap.add_argument("--pix-mux", type=int, default=1)
+    # Swept on a v5e at the bench point (spp=1): 8 beat 1 (0.550 vs
+    # 0.635 s/frame) and 32 (0.752 — too many narrow iterations).
+    ap.add_argument("--pix-mux", type=int, default=8)
     ap.add_argument("--skip-mega", action="store_true")
     ap.add_argument("--skip-wavefront", action="store_true")
     ap.add_argument("--search", choices=("table", "grid"), default="table",
