@@ -157,27 +157,31 @@ def trace_step(state: NeuralQState, scene: Scene, bounce,
                cfg: RenderConfig, dl: DeepLearningConfig, hit_fn=None):
     """trace_ray for the whole wavefront (ref: neural_q_pathtracer.cu:646-752).
 
-    `hit_fn(o, d) -> Hit` overrides the closest-hit implementation (the
-    frame renderers pass the Pallas VMEM kernel, the same fast path the
-    SARSA wavefront uses; default is the XLA sweep).
-    Returns (new_state, any_active_surface_hit)."""
+    `hit_fn(o, d) -> (Hit, mat)` overrides the closest-hit implementation
+    (the frame renderers pass the MXU material-row kernel, the same fast
+    path the SARSA wavefront uses; default is the XLA sweep + gathered
+    material rows).  Returns (new_state, any_active_surface_hit)."""
     if hit_fn is None:
-        hit_fn = lambda o, d: closest_hit(o, d, scene,  # noqa: E731
-                                          ray_tile=cfg.ray_tile)
-    hit = hit_fn(state.loc + cfg.eps * state.direction, state.direction)
+        from rlrpt_tpu.ops.intersect_pallas import material_rows
+
+        def hit_fn(o, d):
+            h = closest_hit(o, d, scene, ray_tile=cfg.ray_tile)
+            return h, material_rows(scene, h.tri)
+    hit, mat = hit_fn(state.loc + cfg.eps * state.direction,
+                      state.direction)
     is_nothing = hit.hit_type == NOTHING
     is_light = hit.hit_type == AREA_LIGHT
     is_surface = hit.hit_type == SURFACE
     active = state.states == ACTIVE
 
-    rewards = jnp.where(
-        is_light, scene.luminance[hit.tri] * dl.light_reward_scale, 0.0)
-    discounts = jnp.where(is_surface, scene.luminance[hit.tri], 0.0)
+    lum = mat[:, 10]
+    rewards = jnp.where(is_light, lum * dl.light_reward_scale, 0.0)
+    discounts = jnp.where(is_surface, lum, 0.0)
 
     tp_mult = jnp.where(
         is_nothing[:, None], cfg.environment_light,
-        jnp.where(is_light[:, None], scene.emission[hit.tri],
-                  scene.diffuse_c[hit.tri] / jnp.pi))
+        jnp.where(is_light[:, None], mat[:, 6:9],
+                  mat[:, 3:6] / jnp.pi))
     throughput = jnp.where(active[:, None], state.throughput * tp_mult,
                            state.throughput)
 
@@ -294,12 +298,17 @@ def _make_hit_fn(scene: Scene, cfg: RenderConfig, use_pallas: bool,
     """Closest-hit implementation for a frame: the Pallas VMEM kernel
     (packing the triangle table once) or the XLA fallback."""
     if not use_pallas:
-        return lambda o, d: closest_hit(o, d, scene, ray_tile=cfg.ray_tile)
-    from rlrpt_tpu.ops.intersect_pallas import (closest_hit_pallas,
-                                                pack_triangles)
-    tris = pack_triangles(scene)
-    return lambda o, d: closest_hit_pallas(o, d, scene, tris,
-                                           interpret=interpret)
+        from rlrpt_tpu.ops.intersect_pallas import material_rows
+
+        def fn(o, d):
+            h = closest_hit(o, d, scene, ray_tile=cfg.ray_tile)
+            return h, material_rows(scene, h.tri)
+        return fn
+    from rlrpt_tpu.ops.intersect_pallas import (closest_hit_pallas_mat,
+                                                pack_scene_mxu)
+    g48, m2 = pack_scene_mxu(scene)
+    return lambda o, d: closest_hit_pallas_mat(o, d, scene, g48, m2,
+                                               interpret=interpret)
 
 
 def _trace_sample(key, scene, camera, params, opt_state, optimizer, epsilon,

@@ -36,8 +36,11 @@ def _trace_sample_pretrained(key, scene, camera, params, cfg: RenderConfig,
                              rl: RadianceVolumeConfig, dl: DeepLearningConfig,
                              hit_fn=None):
     if hit_fn is None:
-        hit_fn = lambda o, d: closest_hit(o, d, scene,  # noqa: E731
-                                          ray_tile=cfg.ray_tile)
+        from rlrpt_tpu.ops.intersect_pallas import material_rows
+
+        def hit_fn(o, d):
+            h = closest_hit(o, d, scene, ray_tile=cfg.ray_tile)
+            return h, material_rows(scene, h.tri)
     k_init, k_loop = jax.random.split(key)
     state0 = init_rays(k_init, camera, cfg)
 
@@ -64,16 +67,17 @@ def _trace_sample_pretrained(key, scene, camera, params, cfg: RenderConfig,
 
         # Simplified trace: terminated rays are left untouched
         # (ref: pre_trained_pathtracer.cu:432-435).
-        hit = hit_fn(state.loc + cfg.eps * state.direction, state.direction)
+        hit, mat = hit_fn(state.loc + cfg.eps * state.direction,
+                          state.direction)
         is_nothing = active & (hit.hit_type == NOTHING)
         is_light = active & (hit.hit_type == AREA_LIGHT)
         is_surface = active & (hit.hit_type == SURFACE)
 
         tp_mult = jnp.where(
             is_nothing[:, None], cfg.environment_light,
-            jnp.where(is_light[:, None], scene.emission[hit.tri],
+            jnp.where(is_light[:, None], mat[:, 6:9],
                       jnp.where(is_surface[:, None],
-                                scene.diffuse_c[hit.tri] / jnp.pi, 1.0)))
+                                mat[:, 3:6] / jnp.pi, 1.0)))
         throughput = state.throughput * tp_mult
         terminated = is_nothing | is_light
         states = jnp.where(terminated, 1, state.states)

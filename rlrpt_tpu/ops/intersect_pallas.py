@@ -515,3 +515,46 @@ def closest_hit_pallas(o: jnp.ndarray, d: jnp.ndarray, scene: Scene,
     normal = scene.normal[tri]
     return Hit(t=jnp.where(missed, jnp.float32(INF), t), tri=tri,
                hit_type=hit_type, position=position, normal=normal)
+
+
+def material_rows(scene: Scene, tri: jnp.ndarray) -> jnp.ndarray:
+    """(N, 16) material rows via per-field gathers — layout matches
+    pack_scene_mxu's table (fallback for the XLA hit path; the MXU kernel
+    emits the same rows without any gathers)."""
+    n = tri.shape[0]
+    return jnp.concatenate([
+        scene.normal[tri], scene.diffuse_c[tri], scene.emission[tri],
+        (tri >= scene.n_surfaces)[:, None].astype(jnp.float32),
+        scene.luminance[tri][:, None],
+        jnp.zeros((n, 5), jnp.float32),
+    ], axis=1)
+
+
+def closest_hit_pallas_mat(o: jnp.ndarray, d: jnp.ndarray, scene: Scene,
+                           g48: jnp.ndarray, m2: jnp.ndarray,
+                           active_count=None, interpret: bool = False,
+                           r_tile: int = R_TILE):
+    """closest_hit_pallas drop-in that ALSO returns the material row from
+    the MXU kernel (no per-field gathers; see closest_hit_mat_mxu).
+
+    Returns (Hit, mat (N, 16)).  Hit.normal comes from the material row
+    (zeros for misses — consumers mask on hit_type, as with the t=0
+    position convention below).
+    """
+    from rlrpt_tpu.ops.intersect import Hit
+    from rlrpt_tpu.scene.scene import AREA_LIGHT, NOTHING, SURFACE
+
+    if active_count is None:
+        active_count = o.shape[0]
+    t, tri, mat = closest_hit_mat_mxu(o, d, g48, m2, active_count,
+                                      interpret=interpret, r_tile=r_tile)
+    missed = t >= jnp.float32(1.0e38)
+    hit_type = jnp.where(
+        missed, NOTHING,
+        jnp.where(tri >= scene.n_surfaces, AREA_LIGHT,
+                  SURFACE)).astype(jnp.int32)
+    t_safe = jnp.where(missed, 0.0, t)
+    position = o + t_safe[:, None] * d
+    return Hit(t=jnp.where(missed, jnp.float32(INF), t), tri=tri,
+               hit_type=hit_type, position=position,
+               normal=mat[:, 0:3]), mat
