@@ -67,9 +67,24 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
         return out, time.perf_counter() - t0
 
     # ---- ground truth ----------------------------------------------------
-    (gt, _), gt_dt = clock(lambda: render_default_mega(
-        jax.random.fold_in(key, 999), scene, cam, mk_cfg(gt_spp),
-        r_tile=1024, pix_mux=8, interpret=interpret, precision="highest"))
+    # Rendered in <=256-spp chunks and averaged: one pallas_call that runs
+    # for minutes (4096 spp at HIGHEST precision in a single dispatch)
+    # trips the TPU watchdog and crashes the worker; chunked renders are
+    # the identical estimator (independent keys, equal-weight average).
+    gt_chunk = min(gt_spp, 256)
+    n_chunks = max(1, gt_spp // gt_chunk)
+
+    def render_gt():
+        acc = None
+        for c in range(n_chunks):
+            img, _ = render_default_mega(
+                jax.random.fold_in(key, 999 + c), scene, cam,
+                mk_cfg(gt_chunk), r_tile=1024, pix_mux=8,
+                interpret=interpret, precision="highest")
+            acc = img if acc is None else acc + img
+        return acc / n_chunks
+
+    gt, gt_dt = clock(render_gt)
     if out_prefix:
         write_png(f"{out_prefix}_gt.png", np.asarray(gt))
 
@@ -100,9 +115,22 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
             train_cfg, rl, pix_mux=4, interpret=interpret)
     host_fence(vols.q)
     s_train_dt = time.perf_counter() - t0
-    (img_s, _), s_dt = clock(lambda: render_frame_sarsa_wavefront(
-        jax.random.fold_in(key, 2), scene, cam, vols, grid, mk_cfg(spp),
-        rl, pix_mux=4, interpret=interpret)[:2])
+    # Chunked test render (watchdog, see GT note); learning continues
+    # across chunks exactly as the reference's test render keeps learning
+    # through its own frame.
+    s_chunk = min(spp, 32)
+    s_n = max(1, spp // s_chunk)
+
+    def render_sarsa_test():
+        acc, v = None, vols
+        for c in range(s_n):
+            img, v, _ = render_frame_sarsa_wavefront(
+                jax.random.fold_in(key, 2000 + c), scene, cam, v, grid,
+                mk_cfg(s_chunk), rl, pix_mux=4, interpret=interpret)
+            acc = img if acc is None else acc + img
+        return acc / s_n
+
+    img_s, s_dt = clock(render_sarsa_test)
     rows.append({"method": "sarsa", "spp": spp,
                  "mape": round(_mape(img_s, gt), 4),
                  "train_frames": sarsa_frames, "train_spp": sarsa_spp,
@@ -130,10 +158,19 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                 opt_state, eps, nq_cfg, rl, dl, interpret=interpret)
         host_fence(params)
         nq_train_dt = time.perf_counter() - t0
-        (nq_res, _), nq_dt = clock(lambda: render_frame_pretrained(
-            jax.random.fold_in(key, 3), scene, cam, params, mk_cfg(spp),
-            rl, dl, interpret=interpret))
-        img_n = nq_res
+        n_chunk = min(spp, 32)
+        n_n = max(1, spp // n_chunk)
+
+        def render_nq_test():
+            acc = None
+            for c in range(n_n):
+                img, _ = render_frame_pretrained(
+                    jax.random.fold_in(key, 3000 + c), scene, cam, params,
+                    mk_cfg(n_chunk), rl, dl, interpret=interpret)
+                acc = img if acc is None else acc + img
+            return acc / n_n
+
+        img_n, nq_dt = clock(render_nq_test)
         rows.append({"method": "neural_q", "spp": spp,
                      "mape": round(_mape(img_n, gt), 4),
                      "train_frames": nq_frames, "train_spp": nq_spp,
