@@ -67,10 +67,12 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
         return out, time.perf_counter() - t0
 
     # ---- ground truth ----------------------------------------------------
-    # Rendered in <=256-spp chunks and averaged: one pallas_call that runs
-    # for minutes (4096 spp at HIGHEST precision in a single dispatch)
-    # trips the TPU watchdog and crashes the worker; chunked renders are
-    # the identical estimator (independent keys, equal-weight average).
+    # Rendered in <=256-spp chunks, averaged, and FENCED per chunk: long
+    # unfenced stretches of queued device work (~60s+) over the tunnelled
+    # TPU crash the worker ('kernel fault / worker restarted'), whether as
+    # one long dispatch (the original 4096-spp GT) or as many chained
+    # ones.  Chunked renders with independent keys are the identical
+    # estimator; the per-chunk round-trip is noise next to the render.
     gt_chunk = min(gt_spp, 256)
     n_chunks = max(1, gt_spp // gt_chunk)
 
@@ -82,6 +84,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                 mk_cfg(gt_chunk), r_tile=1024, pix_mux=8,
                 interpret=interpret, precision="highest")
             acc = img if acc is None else acc + img
+            host_fence(acc)
         return acc / n_chunks
 
     gt, gt_dt = clock(render_gt)
@@ -113,7 +116,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
         _, vols, _ = render_frame_sarsa_wavefront(
             jax.random.fold_in(key, 100 + f), scene, cam, vols, grid,
             train_cfg, rl, pix_mux=4, interpret=interpret)
-    host_fence(vols.q)
+        host_fence(vols.q)  # per-frame fence (see GT note)
     s_train_dt = time.perf_counter() - t0
     # Chunked test render (watchdog, see GT note); learning continues
     # across chunks exactly as the reference's test render keeps learning
@@ -128,6 +131,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                 jax.random.fold_in(key, 2000 + c), scene, cam, v, grid,
                 mk_cfg(s_chunk), rl, pix_mux=4, interpret=interpret)
             acc = img if acc is None else acc + img
+            host_fence(acc)
         return acc / s_n
 
     img_s, s_dt = clock(render_sarsa_test)
@@ -156,7 +160,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
             _, params, opt_state, eps, _ = render_frame_neural_q(
                 jax.random.fold_in(key, 200 + f), scene, cam, params,
                 opt_state, eps, nq_cfg, rl, dl, interpret=interpret)
-        host_fence(params)
+            host_fence(params)  # per-frame fence (see GT note)
         nq_train_dt = time.perf_counter() - t0
         n_chunk = min(spp, 32)
         n_n = max(1, spp // n_chunk)
@@ -168,6 +172,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                     jax.random.fold_in(key, 3000 + c), scene, cam, params,
                     mk_cfg(n_chunk), rl, dl, interpret=interpret)
                 acc = img if acc is None else acc + img
+                host_fence(acc)
             return acc / n_n
 
         img_n, nq_dt = clock(render_nq_test)
