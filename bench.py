@@ -39,8 +39,10 @@ from rlrpt_tpu.scene import cornell_box
 
 REFERENCE_RAYS_PER_SEC_ESTIMATE = 1.0e8
 
-# Megakernel tuning for the 720x720/114-triangle bench point (swept on a
-# v5e chip: 1024/32 beat 2048/{4,8,16} and 1024/64).
+# Megakernel tuning for the 720x720/114-triangle bench point: 1024/32 —
+# re-confirmed after the fused single-pass kernel (bench-protocol runs:
+# 1024/32 462M vs 2048/32 433M rays/s; the sweep's shorter-rep protocol
+# ranked them the other way, trust the bench protocol for the bench).
 R_TILE = 1024
 PIX_MUX = 32
 # Intersection precision: compensated-bf16 ("high3"), fused into a SINGLE
