@@ -219,10 +219,13 @@ def compute_td_targets(params, scene: Scene, state: NeuralQState,
 
 def train_on_batches(params, opt_state, optimizer, scene: Scene,
                      prev_loc, actions, tds, dl: DeepLearningConfig,
-                     axis_name=None):
+                     axis_name=None, weights=None):
     """Sequential per-minibatch Adam updates within one bounce
     (ref: neural_q_pathtracer.cu:421-513: one graph + trainer.update() per
     4096-ray batch).  Returns (params, opt_state, summed loss).
+
+    `weights` (R,) f32 optionally masks/weights per-ray squared errors
+    (the regenerative wavefront passes its pending-transition mask).
 
     Under shard_map (`axis_name` set) each device holds 1/D of every global
     minibatch; gradients are psum'd over the ray axis before the (identical,
@@ -231,8 +234,8 @@ def train_on_batches(params, opt_state, optimizer, scene: Scene,
     r = prev_loc.shape[0]
     b = min(dl.batch_size, r)
     pad = (-r) % b
-    mask = jnp.concatenate([jnp.ones((r,), jnp.float32),
-                            jnp.zeros((pad,), jnp.float32)])
+    w = jnp.ones((r,), jnp.float32) if weights is None else weights
+    mask = jnp.concatenate([w, jnp.zeros((pad,), jnp.float32)])
     loc_p = jnp.concatenate([prev_loc, jnp.zeros((pad, 3), prev_loc.dtype)])
     act_p = jnp.concatenate([actions, jnp.zeros((pad,), actions.dtype)])
     td_p = jnp.concatenate([tds, jnp.zeros((pad,), tds.dtype)])
@@ -251,11 +254,22 @@ def train_on_batches(params, opt_state, optimizer, scene: Scene,
             return jnp.sum(c_mask * (c_td - qa) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(p)
+        n_live = jnp.sum(c_mask)
         if axis_name is not None:
             grads = jax.lax.psum(grads, axis_name)
             loss = jax.lax.psum(loss, axis_name)
-        updates, o = optimizer.update(grads, o, p)
-        p = optax.apply_updates(p, updates)
+            n_live = jax.lax.psum(n_live, axis_name)
+        # A minibatch whose rays are ALL masked out (pure padding, or no
+        # pending transitions in a wavefront chunk) must not advance Adam:
+        # the reference never constructs such a batch, and a zero-grad
+        # Adam step still moves params through the decayed momentum.
+        has_any = n_live > 0
+        updates, o_new = optimizer.update(grads, o, p)
+        p_new = optax.apply_updates(p, updates)
+        p = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(has_any, a, b), p_new, p)
+        o = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(has_any, a, b), o_new, o)
         return (p, o), loss
 
     (params, opt_state), losses = jax.lax.scan(step, (params, opt_state),

@@ -266,7 +266,14 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                 next_vol = find_closest_volume_table(grid, hit_pos, tri,
                                                      cls=cls)
             else:
-                next_vol = find_closest_volume_grid(grid, hit_pos, normal)
+                # The grid search filters with a byte-exact f32 normal
+                # equality (grid_bucket.py find_closest_volume_grid); the
+                # MXU kernel's mat-row normal is a bf16 hi+lo
+                # reconstruction (~16 mantissa bits), which would never
+                # match on scenes whose normals aren't bf16-exact — gather
+                # the true triangle normal for the query (ADVICE r3).
+                qnorm = scene.normal[tri] if hit_mode == "mxu" else normal
+                next_vol = find_closest_volume_grid(grid, hit_pos, qnorm)
 
             # ---- fused CDF row + irradiance-bootstrap gather --------------
             vrow = s.cdfplus[next_vol]                       # (N, S+1)

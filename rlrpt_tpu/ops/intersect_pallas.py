@@ -296,6 +296,18 @@ def pack_scene_mxu(scene: Scene, tri_class: jnp.ndarray | None = None):
     g, mtbl = mt_tables(scene)
     if tri_class is not None:
         t = tri_class.shape[0]
+        # Class ids ride the compensated bf16 hi/lo split, which is exact
+        # only below 2^16 (one class per distinct normal — a mesh with
+        # more would silently round to wrong ids; ADVICE r3).  Checked
+        # only when concrete: under jit the ids arrive as a tracer, and
+        # build_volume_class_table checked them at build time.
+        if not isinstance(tri_class, jax.core.Tracer):
+            n_cls = int(jnp.max(tri_class)) + 1 if t else 0
+            if n_cls >= 1 << 16:
+                raise ValueError(
+                    f"{n_cls} normal classes exceed the 2^16 ids the bf16 "
+                    "hi/lo material row can carry exactly; use the f32 hit "
+                    "path (hit_mode='f32') for this scene")
         mtbl = mtbl.at[11, :t].set(jnp.asarray(tri_class, jnp.float32))
     g_hi, g_lo = _split_bf16(g)
     m_hi, m_lo = _split_bf16(mtbl)

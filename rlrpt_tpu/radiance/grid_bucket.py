@@ -178,6 +178,12 @@ def build_volume_class_table(vols: RadianceVolumes, scene,
     """
     from scipy.spatial import cKDTree
 
+    # The fixed 16-wide row stores slot (cls, ans) pairs at columns
+    # 0..2*n_slots-1 and the fallback/has_any answers at columns 8/9; more
+    # than 4 slots would overwrite the fallback (ADVICE r3).
+    if not 1 <= n_slots <= 4:
+        raise ValueError(f"n_slots must be in [1, 4], got {n_slots}")
+
     pos = np.asarray(vols.position, np.float32)
     nrm = np.asarray(vols.normal, np.float32)
     tri_nrm = np.asarray(scene.normal, np.float32)
@@ -194,6 +200,15 @@ def build_volume_class_table(vols: RadianceVolumes, scene,
     _, inv = np.unique(all_nrm.view([("", all_nrm.dtype)] * 3),
                        return_inverse=True)
     inv = inv.reshape(-1)
+    # The MXU hit kernel carries class ids through a compensated bf16
+    # hi/lo split, exact only below 2^16 (ADVICE r3; intersect_pallas.
+    # pack_scene_mxu re-checks when concrete).
+    n_classes = int(inv.max()) + 1 if len(inv) else 0
+    if n_classes >= 1 << 16:
+        raise ValueError(
+            f"{n_classes} distinct normals exceed the 2^16 class ids the "
+            "answer table supports; use the VolumeGrid search for this "
+            "scene")
     tri_class = inv[:len(tri_nrm)].astype(np.int32)
     vol_class = inv[len(tri_nrm):].astype(np.int32)
 

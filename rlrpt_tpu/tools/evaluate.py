@@ -41,6 +41,15 @@ from rlrpt_tpu.utils.profiling import host_fence
 from rlrpt_tpu.utils.image import mape_score, write_png
 
 
+def _split_chunks(total: int, chunk: int) -> list:
+    """Chunk sizes covering `total` exactly (final chunk may be partial)."""
+    out = []
+    while total > 0:
+        out.append(min(chunk, total))
+        total -= out[-1]
+    return out
+
+
 def _mape(img, gt):
     """Reference MAPE between [0,1] float images (Graphing/mape.py:10-21
     operates on 8-bit values scaled back to [0,1]; match that exactly by
@@ -52,7 +61,8 @@ def _mape(img, gt):
 
 def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                    sarsa_spp, nq_frames, nq_spp, area_per_sample, interpret,
-                   key, out_prefix=None, skip_nq=False):
+                   key, out_prefix=None, skip_nq=False,
+                   nq_impl="wavefront"):
     """Returns a list of result-row dicts for one scene."""
     from rlrpt_tpu.ops.megakernel import render_default_mega
 
@@ -73,19 +83,20 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
     # one long dispatch (the original 4096-spp GT) or as many chained
     # ones.  Chunked renders with independent keys are the identical
     # estimator; the per-chunk round-trip is noise next to the render.
-    gt_chunk = min(gt_spp, 256)
-    n_chunks = max(1, gt_spp // gt_chunk)
+    # Chunk lists cover the requested budget EXACTLY (ceil-division with a
+    # weighted final partial chunk — ADVICE r3: floor-division silently
+    # rendered 256 of a requested 300 spp while reporting 300).
 
     def render_gt():
         acc = None
-        for c in range(n_chunks):
+        for c, cs in enumerate(_split_chunks(gt_spp, 256)):
             img, _ = render_default_mega(
                 jax.random.fold_in(key, 999 + c), scene, cam,
-                mk_cfg(gt_chunk), r_tile=1024, pix_mux=8,
+                mk_cfg(cs), r_tile=1024, pix_mux=8,
                 interpret=interpret, precision="highest")
-            acc = img if acc is None else acc + img
+            acc = img * cs if acc is None else acc + img * cs
             host_fence(acc)
-        return acc / n_chunks
+        return acc / gt_spp
 
     gt, gt_dt = clock(render_gt)
     if out_prefix:
@@ -116,29 +127,27 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
     # total training budget is unchanged, the CDF rebuild just runs per
     # chunk instead of per frame (more frequent than the reference's
     # once-per-frame, same learning rule).
-    tr_chunk = min(sarsa_spp, 8)
-    train_cfg = mk_cfg(tr_chunk)
-    for f in range(sarsa_frames * (sarsa_spp // tr_chunk)):
-        _, vols, _ = render_frame_sarsa_wavefront(
-            jax.random.fold_in(key, 100 + f), scene, cam, vols, grid,
-            train_cfg, rl, pix_mux=4, interpret=interpret)
-        host_fence(vols.q)
+    tr_chunks = _split_chunks(sarsa_spp, 8)
+    for f in range(sarsa_frames):
+        for c, cs in enumerate(tr_chunks):
+            _, vols, _ = render_frame_sarsa_wavefront(
+                jax.random.fold_in(key, 100 + f * len(tr_chunks) + c),
+                scene, cam, vols, grid, mk_cfg(cs), rl, pix_mux=4,
+                interpret=interpret)
+            host_fence(vols.q)
     s_train_dt = time.perf_counter() - t0
     # Chunked test render (watchdog, see GT note); learning continues
     # across chunks exactly as the reference's test render keeps learning
     # through its own frame.
-    s_chunk = min(spp, 16)
-    s_n = max(1, spp // s_chunk)
-
     def render_sarsa_test():
         acc, v = None, vols
-        for c in range(s_n):
+        for c, cs in enumerate(_split_chunks(spp, 16)):
             img, v, _ = render_frame_sarsa_wavefront(
                 jax.random.fold_in(key, 2000 + c), scene, cam, v, grid,
-                mk_cfg(s_chunk), rl, pix_mux=4, interpret=interpret)
-            acc = img if acc is None else acc + img
+                mk_cfg(cs), rl, pix_mux=4, interpret=interpret)
+            acc = img * cs if acc is None else acc + img * cs
             host_fence(acc)
-        return acc / s_n
+        return acc / spp
 
     img_s, s_dt = clock(render_sarsa_test)
     rows.append({"method": "sarsa", "spp": spp,
@@ -152,42 +161,57 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
 
     # ---- neural-Q: online-train N frames, then inference render ----------
     if not skip_nq:
-        from rlrpt_tpu.deep.neural_q import (init_neural_q,
-                                             render_frame_neural_q)
-        from rlrpt_tpu.deep.pretrained import render_frame_pretrained
+        from rlrpt_tpu.deep.neural_q import init_neural_q
+
+        # Regenerative-wavefront tracers by default (the lockstep pair
+        # matches the reference schedule exactly but is ~50x slower —
+        # NEURAL_Q_BENCH; both implement the same estimator/learning rule,
+        # tests/test_deep_wavefront.py).
+        if nq_impl == "wavefront":
+            from rlrpt_tpu.deep.deep_wavefront import (
+                render_frame_neural_q_wavefront as nq_train_fn,
+                render_frame_pretrained_wavefront as nq_inf_fn)
+            # Whole frames fit the tunnel's safe dispatch window at
+            # wavefront speed; chunk at <=16 spp anyway for open scenes.
+            nq_chunk, inf_chunk = 16, 64
+        else:
+            from rlrpt_tpu.deep.neural_q import (
+                render_frame_neural_q as nq_train_fn)
+            from rlrpt_tpu.deep.pretrained import (
+                render_frame_pretrained as nq_inf_fn)
+            nq_chunk, inf_chunk = 4, 16
 
         dl = DeepLearningConfig()
         params, opt_state = init_neural_q(jax.random.fold_in(key, 7), scene,
                                           dl, rl.grid_resolution)
         eps = 1.0
         t0 = time.perf_counter()
-        nq_chunk = min(nq_spp, 4)
-        nq_cfg = mk_cfg(nq_chunk)
-        for f in range(nq_frames * (nq_spp // nq_chunk)):
-            _, params, opt_state, eps, _ = render_frame_neural_q(
-                jax.random.fold_in(key, 200 + f), scene, cam, params,
-                opt_state, eps, nq_cfg, rl, dl, interpret=interpret)
-            host_fence(params)  # per-chunk fence (see GT note)
+        nq_chunks = _split_chunks(nq_spp, nq_chunk)
+        for f in range(nq_frames):
+            for c, cs in enumerate(nq_chunks):
+                _, params, opt_state, eps, _ = nq_train_fn(
+                    jax.random.fold_in(key, 200 + f * len(nq_chunks) + c),
+                    scene, cam, params, opt_state, eps, mk_cfg(cs), rl, dl,
+                    interpret=interpret)
+                host_fence(params)  # per-chunk fence (see GT note)
         nq_train_dt = time.perf_counter() - t0
-        n_chunk = min(spp, 16)
-        n_n = max(1, spp // n_chunk)
 
         def render_nq_test():
             acc = None
-            for c in range(n_n):
-                img, _ = render_frame_pretrained(
+            for c, cs in enumerate(_split_chunks(spp, inf_chunk)):
+                img, _ = nq_inf_fn(
                     jax.random.fold_in(key, 3000 + c), scene, cam, params,
-                    mk_cfg(n_chunk), rl, dl, interpret=interpret)
-                acc = img if acc is None else acc + img
+                    mk_cfg(cs), rl, dl, interpret=interpret)
+                acc = img * cs if acc is None else acc + img * cs
                 host_fence(acc)
-            return acc / n_n
+            return acc / spp
 
         img_n, nq_dt = clock(render_nq_test)
         rows.append({"method": "neural_q", "spp": spp,
                      "mape": round(_mape(img_n, gt), 4),
                      "train_frames": nq_frames, "train_spp": nq_spp,
                      "train_sec": round(nq_train_dt, 2),
-                     "render_sec": round(nq_dt, 2)})
+                     "render_sec": round(nq_dt, 2), "impl": nq_impl})
         if out_prefix:
             write_png(f"{out_prefix}_neural_q.png", np.asarray(img_n))
 
@@ -212,6 +236,8 @@ def main(argv=None):
     ap.add_argument("--nq-spp", type=int, default=8)
     ap.add_argument("--area-per-sample", type=float, default=0.001)
     ap.add_argument("--skip-nq", action="store_true")
+    ap.add_argument("--nq-impl", choices=("wavefront", "lockstep"),
+                    default="wavefront")
     ap.add_argument("--out", default="EVAL.json")
     ap.add_argument("--out-prefix", default=None,
                     help="if set, write PNGs <prefix>_{gt,default,...}.png")
@@ -232,7 +258,8 @@ def main(argv=None):
         sarsa_spp=args.sarsa_spp, nq_frames=args.nq_frames,
         nq_spp=args.nq_spp, area_per_sample=args.area_per_sample,
         interpret=interpret, key=jax.random.PRNGKey(1984),
-        out_prefix=args.out_prefix, skip_nq=args.skip_nq)
+        out_prefix=args.out_prefix, skip_nq=args.skip_nq,
+        nq_impl=args.nq_impl)
     for r in rows:
         r["scene"] = args.scene
     result = {"protocol": "thesis MAPE (4_critical_evaluation.tex:47-69)",

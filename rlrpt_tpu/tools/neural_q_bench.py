@@ -2,21 +2,23 @@
 
 The reference's deep tracer loses >100x to host<->device ping-pong
 (6 transfers per 4096-ray batch per bounce, 8 GB/s PCIe vs 144 GB/s
-on-device — thesis 4_critical_evaluation.tex:283-285).  Our whole
-training frame (forward passes, epsilon-greedy trace with the Pallas hit
-kernel, TD targets, sequential minibatch Adam) is ONE jitted program with
-zero transfers; this harness records what that buys: steady-state seconds
-per frame and traced rays/sec for
+on-device — thesis 4_critical_evaluation.tex:283-285).  Our deep tracers
+are single jitted programs with zero transfers; this harness records what
+that buys, for both schedules:
 
-  * the online-training tracer (deep.neural_q.render_frame_neural_q),
-  * the inference-only tracer (deep.pretrained.render_frame_pretrained),
+  * lockstep (`--impl lockstep`): deep.neural_q / deep.pretrained — the
+    reference's wavefront advanced full-width every bounce;
+  * regenerative (`--impl wavefront`, default): deep.deep_wavefront — the
+    sarsa_wavefront slot model (sample regeneration, pixel multiplexing,
+    cascaded drain) with ONE fused MLP forward per iteration serving both
+    the sampling distribution and the TD bootstrap.
 
+Emits one JSON line per variant: steady-state sec/frame + traced rays/s
 on the cornell box at the reference's config (720x720, 80-bounce cap;
-default spp 1 for a per-sample number — the reference trains at 32 spp,
-scale linearly).
+default spp 1 for a per-sample number).
 
-Usage: python -m rlrpt_tpu.tools.neural_q_bench [--spp 1] [--frames 3]
-       [--size 720] [--train-on-position]
+Usage: python -m rlrpt_tpu.tools.neural_q_bench [--impl wavefront]
+       [--spp 1] [--frames 3] [--size 720] [--pix-mux 8] [--skip-train]
 """
 
 from __future__ import annotations
@@ -34,19 +36,41 @@ from rlrpt_tpu.config import (DeepLearningConfig, RadianceVolumeConfig,
 from rlrpt_tpu.scene import cornell_box
 
 
+def _measure(fn, key, frames: int, warmups: int = 3):
+    """Steady-state (sec/frame, mean path length) — warm-up + host fences
+    (block_until_ready is unreliable over the axon tunnel)."""
+    acc = jnp.float32(0.0)
+    for i in range(warmups):
+        probe, _ = fn(jax.random.fold_in(key, 900 + i))
+        acc = acc + probe
+    float(acc)
+    t0 = time.perf_counter()
+    acc = jnp.float32(0.0)
+    lens = []
+    for i in range(frames):
+        probe, plen = fn(jax.random.fold_in(key, i))
+        lens.append(plen)
+        acc = acc + probe
+    float(acc)
+    dt = (time.perf_counter() - t0) / frames
+    return dt, sum(float(p) for p in lens) / len(lens)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    ap.add_argument("--impl", choices=("wavefront", "lockstep"),
+                    default="wavefront")
     ap.add_argument("--spp", type=int, default=1)
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--size", type=int, default=720)
     ap.add_argument("--bounces", type=int, default=80)
     ap.add_argument("--batch-size", type=int, default=4096)
+    ap.add_argument("--pix-mux", type=int, default=8,
+                    help="wavefront impl: pixels multiplexed per slot")
     ap.add_argument("--train-on-position", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-pretrained", action="store_true")
     args = ap.parse_args(argv)
-
-    from rlrpt_tpu.deep.neural_q import init_neural_q, render_frame_neural_q
-    from rlrpt_tpu.deep.pretrained import render_frame_pretrained
 
     cfg = RenderConfig(width=args.size, height=args.size,
                        samples_per_pixel=args.spp,
@@ -57,62 +81,82 @@ def main(argv=None):
     scene = cornell_box()
     cam = Camera.create([0.0, 0.0, -3.0])
     key = jax.random.PRNGKey(1984)
+
+    from rlrpt_tpu.deep.neural_q import init_neural_q
     params, opt_state = init_neural_q(key, scene, dl, rl.grid_resolution)
     total = cfg.n_pixels * cfg.samples_per_pixel
+    # Pallas kernels need interpret mode on the CPU backend (smoke tests).
+    interp = jax.default_backend() == "cpu"
 
     if not args.skip_train:
-        # warm-up: compile + 3 executions (first dispatches over the axon
-        # tunnel are slow; time only the steady state), host-fenced
-        # (block_until_ready is unreliable over the tunnel).
-        eps = 1.0
-        acc = jnp.float32(0.0)
-        for i in range(3):
-            img, params, opt_state, eps, aux = render_frame_neural_q(
-                jax.random.fold_in(key, 900 + i), scene, cam, params,
-                opt_state, eps, cfg, rl, dl)
-            acc = acc + jnp.sum(img)
-        float(acc)
-        t0 = time.perf_counter()
-        acc = jnp.float32(0.0)
-        lens = []
-        for i in range(args.frames):
-            img, params, opt_state, eps, aux = render_frame_neural_q(
-                jax.random.fold_in(key, i), scene, cam, params, opt_state,
-                eps, cfg, rl, dl)
-            lens.append(aux["avg_path_length"])
-            acc = acc + jnp.sum(img)
-        float(acc)
-        dt = (time.perf_counter() - t0) / args.frames
-        # avg_path_length counts image-forming bounces; learning-only
-        # respawned rays trace too, so rays/s from it is a LOWER bound.
-        rays = float(jnp.mean(jnp.stack(lens))) * total
-        print(json.dumps({
-            "which": "neural_q_train", "sec_per_frame": round(dt, 4),
-            "spp": args.spp, "size": args.size,
-            "image_rays_per_sec_lower_bound": round(rays / dt, 1),
-            "final_loss": float(aux["loss"][-1])}), flush=True)
+        if args.impl == "wavefront":
+            from rlrpt_tpu.deep.deep_wavefront import (
+                render_frame_neural_q_wavefront)
+            # Mutable training state threaded outside the timed closure
+            # (the bench measures the frame step at a steady state; params
+            # keep training across reps like the reference's frames).
+            box = {"params": params, "opt": opt_state, "eps": 1.0}
 
-    acc = jnp.float32(0.0)
-    for i in range(3):
-        img, aux = render_frame_pretrained(jax.random.fold_in(key, 800 + i),
-                                           scene, cam, params, cfg, rl, dl)
-        acc = acc + jnp.sum(img)
-    float(acc)  # warm-up fence (see above)
-    t0 = time.perf_counter()
-    acc = jnp.float32(0.0)
-    lens = []
-    for i in range(args.frames):
-        img, aux = render_frame_pretrained(jax.random.fold_in(key, 50 + i),
-                                           scene, cam, params, cfg, rl, dl)
-        lens.append(aux["avg_path_length"])
-        acc = acc + jnp.sum(img)
-    float(acc)
-    dt = (time.perf_counter() - t0) / args.frames
-    rays = float(jnp.mean(jnp.stack(lens))) * total
-    print(json.dumps({
-        "which": "neural_q_pretrained", "sec_per_frame": round(dt, 4),
-        "spp": args.spp, "size": args.size,
-        "rays_per_sec": round(rays / dt, 1)}), flush=True)
+            def run_train(k):
+                img, p, o, e, aux = render_frame_neural_q_wavefront(
+                    k, scene, cam, box["params"], box["opt"], box["eps"],
+                    cfg, rl, dl, pix_mux=args.pix_mux, interpret=interp)
+                box.update(params=p, opt=o, eps=e)
+                box["loss"] = aux["loss"]
+                return jnp.sum(img), aux["avg_path_length"]
+        else:
+            from rlrpt_tpu.deep.neural_q import render_frame_neural_q
+            box = {"params": params, "opt": opt_state, "eps": 1.0}
+
+            def run_train(k):
+                img, p, o, e, aux = render_frame_neural_q(
+                    k, scene, cam, box["params"], box["opt"], box["eps"],
+                    cfg, rl, dl, interpret=interp)
+                box.update(params=p, opt=o, eps=e)
+                box["loss"] = aux["loss"][-1]
+                return jnp.sum(img), aux["avg_path_length"]
+
+        dt, plen = _measure(run_train, key, args.frames)
+        out = {"which": f"neural_q_train_{args.impl}",
+               "sec_per_frame": round(dt, 4), "spp": args.spp,
+               "size": args.size, "pix_mux": args.pix_mux,
+               "final_loss": float(jnp.sum(jnp.asarray(box["loss"])))}
+        if args.impl == "wavefront":
+            # path_sum counts every traced segment, so this is the true
+            # training-frame throughput (the lockstep's image-path stat
+            # excludes learning-only respawns and is a lower bound).
+            out["rays_per_sec"] = round(plen * total / dt, 1)
+        else:
+            out["image_rays_per_sec_lower_bound"] = round(plen * total / dt,
+                                                          1)
+        print(json.dumps(out), flush=True)
+        params = box["params"]
+
+    if not args.skip_pretrained:
+        if args.impl == "wavefront":
+            from rlrpt_tpu.deep.deep_wavefront import (
+                render_frame_pretrained_wavefront)
+
+            def run_inf(k):
+                img, aux = render_frame_pretrained_wavefront(
+                    k, scene, cam, params, cfg, rl, dl,
+                    pix_mux=args.pix_mux, interpret=interp)
+                return jnp.sum(img), aux["avg_path_length"]
+        else:
+            from rlrpt_tpu.deep.pretrained import render_frame_pretrained
+
+            def run_inf(k):
+                img, aux = render_frame_pretrained(k, scene, cam, params,
+                                                   cfg, rl, dl,
+                                                   interpret=interp)
+                return jnp.sum(img), aux["avg_path_length"]
+
+        dt, plen = _measure(run_inf, key, args.frames)
+        print(json.dumps({
+            "which": f"neural_q_pretrained_{args.impl}",
+            "sec_per_frame": round(dt, 4), "spp": args.spp,
+            "size": args.size, "pix_mux": args.pix_mux,
+            "rays_per_sec": round(plen * total / dt, 1)}), flush=True)
 
 
 if __name__ == "__main__":

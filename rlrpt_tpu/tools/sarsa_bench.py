@@ -53,8 +53,9 @@ def measure(fn, key, frames: int, trials: int = 2):
         acc = acc + probe
     float(acc)
 
-    best = float("inf")
-    paths = []
+    # Keep (sec/frame, mean path length) PAIRED per trial so the reported
+    # rays/s mixes timing and path stats from the same trial (ADVICE r3).
+    best = (float("inf"), 0.0)
     for t in range(trials):
         t0 = time.perf_counter()
         acc = jnp.float32(0.0)
@@ -64,9 +65,10 @@ def measure(fn, key, frames: int, trials: int = 2):
             paths.append(plen)
             acc = acc + probe
         float(acc)
-        best = min(best, (time.perf_counter() - t0) / frames)
-    mean_path = sum(float(p) for p in paths) / len(paths)
-    return best, mean_path
+        dt = (time.perf_counter() - t0) / frames
+        if dt < best[0]:
+            best = (dt, sum(float(p) for p in paths) / len(paths))
+    return best
 
 
 def main(argv=None):

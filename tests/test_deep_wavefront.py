@@ -1,0 +1,117 @@
+"""Regenerative deep wavefront vs the lockstep deep tracers.
+
+Pretrained mode is a pure re-scheduling of the same frozen-net estimator,
+so equivalence is statistical (within Monte-Carlo noise of the lockstep).
+Training mode changes only the update schedule (module docstring), so the
+checks are learning-health ones, mirroring tests/test_sarsa_wavefront.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlrpt_tpu.camera import Camera
+from rlrpt_tpu.config import (DeepLearningConfig, RadianceVolumeConfig,
+                              RenderConfig)
+from rlrpt_tpu.deep.deep_wavefront import (
+    render_frame_neural_q_wavefront, render_frame_pretrained_wavefront)
+from rlrpt_tpu.deep.neural_q import init_neural_q, render_frame_neural_q
+from rlrpt_tpu.deep.pretrained import render_frame_pretrained
+from rlrpt_tpu.scene import cornell_box
+
+_CFG = RenderConfig(width=24, height=24, samples_per_pixel=4,
+                    max_ray_bounces=8, ray_tile=1024)
+_RL = RadianceVolumeConfig(grid_resolution=6)
+_DL = DeepLearningConfig(batch_size=256, hidden_sizes=(32, 48, 32))
+_CAM = Camera.create([0.0, 0.0, -3.0])
+
+
+def _setup(seed=7):
+    scene = cornell_box()
+    params, opt_state = init_neural_q(jax.random.PRNGKey(seed), scene, _DL,
+                                      _RL.grid_resolution)
+    return scene, params, opt_state
+
+
+def test_pretrained_matches_lockstep_within_noise():
+    scene, params, _ = _setup()
+    img_fast, aux = render_frame_pretrained_wavefront(
+        jax.random.PRNGKey(3), scene, _CAM, params, _CFG, _RL, _DL,
+        interpret=True)
+    img_lock, _ = render_frame_pretrained(
+        jax.random.PRNGKey(3), scene, _CAM, params, _CFG, _RL, _DL,
+        interpret=True)
+    img_lock2, _ = render_frame_pretrained(
+        jax.random.PRNGKey(4), scene, _CAM, params, _CFG, _RL, _DL,
+        interpret=True)
+    noise = float(jnp.mean(jnp.abs(img_lock - img_lock2)))
+    err = float(jnp.mean(jnp.abs(img_fast - img_lock)))
+    assert err < 3.0 * noise + 1e-3, (err, noise)
+    assert float(aux["avg_path_length"]) > 0
+    assert int(aux["wavefront_iterations"]) > 0
+
+
+def test_pretrained_pix_mux_same_estimator():
+    scene, params, _ = _setup()
+    img1, _ = render_frame_pretrained_wavefront(
+        jax.random.PRNGKey(5), scene, _CAM, params, _CFG, _RL, _DL,
+        pix_mux=1, interpret=True)
+    img4, _ = render_frame_pretrained_wavefront(
+        jax.random.PRNGKey(5), scene, _CAM, params, _CFG, _RL, _DL,
+        pix_mux=4, interpret=True)
+    img1b, _ = render_frame_pretrained_wavefront(
+        jax.random.PRNGKey(6), scene, _CAM, params, _CFG, _RL, _DL,
+        pix_mux=1, interpret=True)
+    noise = float(jnp.mean(jnp.abs(img1 - img1b)))
+    err = float(jnp.mean(jnp.abs(img4 - img1)))
+    assert err < 3.0 * noise + 1e-3, (err, noise)
+
+
+def test_neural_q_wavefront_trains():
+    scene, params, opt_state = _setup()
+    eps = 1.0
+    losses, zclps = [], []
+    for f in range(3):
+        img, params, opt_state, eps, aux = render_frame_neural_q_wavefront(
+            jax.random.PRNGKey(20 + f), scene, _CAM, params, opt_state,
+            eps, _CFG, _RL, _DL, interpret=True)
+        losses.append(float(aux["loss"]))
+        zclps.append(int(aux["zero_contribution_light_paths"]))
+    assert bool(jnp.all(jnp.isfinite(img)))
+    assert bool(jnp.all(img >= 0.0))
+    assert all(np.isfinite(losses)), losses
+    assert losses[0] > 0.0
+    # epsilon advanced by spp decays per frame, floored.
+    expected = max(1.0 - 3 * _CFG.samples_per_pixel * _DL.epsilon_decay,
+                   _DL.epsilon_min)
+    assert abs(float(eps) - expected) < 1e-6
+
+
+def test_neural_q_wavefront_params_change_and_stay_finite():
+    scene, params, opt_state = _setup()
+    img, params2, _, _, _ = render_frame_neural_q_wavefront(
+        jax.random.PRNGKey(30), scene, _CAM, params, opt_state, 0.5,
+        _CFG, _RL, _DL, interpret=True)
+    moved = any(
+        float(jnp.max(jnp.abs(a - b))) > 0.0
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params2)))
+    assert moved
+    for leaf in jax.tree_util.tree_leaves(params2):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_neural_q_wavefront_image_brightness_sane():
+    """Trained-net wavefront image matches the lockstep's global
+    brightness within a loose factor (schedules differ, estimator is the
+    same family)."""
+    scene, params, opt_state = _setup()
+    img_w, _, _, _, _ = render_frame_neural_q_wavefront(
+        jax.random.PRNGKey(40), scene, _CAM, params, opt_state, 1.0,
+        _CFG, _RL, _DL, interpret=True)
+    img_l, _, _, _, _ = render_frame_neural_q(
+        jax.random.PRNGKey(40), scene, _CAM, params, opt_state, 1.0,
+        _CFG, _RL, _DL, interpret=True)
+    mw, ml = float(jnp.mean(img_w)), float(jnp.mean(img_l))
+    assert mw > 0.0 and ml > 0.0
+    assert 0.3 < mw / ml < 3.0, (mw, ml)
