@@ -77,8 +77,16 @@ def main():
         img, aux = render(jax.random.fold_in(key, 1000 + i))
     float(jax.numpy.sum(img))
 
-    rays_per_sec = 0.0
-    for trial in range(3):
+    # Per-trial throughputs go to stderr (the driver contract is ONE json
+    # line on stdout); the reported value is the MEDIAN of 5 trials — the
+    # round-3 best-of-3 protocol showed >10% spread over the tunnel
+    # (README said 478M, the driver run 426M), and the median is the
+    # number a user actually reproduces.
+    import statistics
+    import sys
+
+    trials = []
+    for trial in range(5):
         reps = 10
         auxes = []
         acc = jax.numpy.float32(0.0)
@@ -91,7 +99,13 @@ def main():
         dt = time.perf_counter() - t0
         rays_total = sum(float(a) for a in auxes) * cfg.n_pixels \
             * cfg.samples_per_pixel
-        rays_per_sec = max(rays_per_sec, rays_total / dt)
+        trials.append(rays_total / dt)
+        print(f"trial {trial}: {trials[-1] / 1e6:.1f}M rays/s",
+              file=sys.stderr, flush=True)
+    rays_per_sec = statistics.median(trials)
+    print(f"median {rays_per_sec / 1e6:.1f}M  best {max(trials) / 1e6:.1f}M"
+          f"  spread {(max(trials) / min(trials) - 1) * 100:.1f}%",
+          file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": "rays/sec/chip (cornell 720x720, 1 spp, 80-bounce cap)",
         "value": round(rays_per_sec, 1),

@@ -8,8 +8,24 @@ network parameters / Q-tables replicate, and the cross-device reductions
 as psum collectives inside shard_map.
 """
 
-from rlrpt_tpu.parallel.mesh import make_mesh, ray_specs  # noqa: F401
-from rlrpt_tpu.parallel.dp import (render_default_dp,  # noqa: F401
-                                   render_frame_sarsa_dp,
-                                   render_frame_sarsa_wavefront_dp,
-                                   neural_q_train_step_dp)
+# Lazy exports (PEP 562): the submodules hold module-level jnp constants
+# whose evaluation initialises the XLA backend, which must NOT happen
+# before jax.distributed.initialize in a multi-process run — importing
+# rlrpt_tpu.parallel (e.g. for .multihost) stays side-effect free.
+_EXPORTS = {
+    "make_mesh": "rlrpt_tpu.parallel.mesh",
+    "ray_specs": "rlrpt_tpu.parallel.mesh",
+    "render_default_dp": "rlrpt_tpu.parallel.dp",
+    "render_frame_sarsa_dp": "rlrpt_tpu.parallel.dp",
+    "render_frame_sarsa_wavefront_dp": "rlrpt_tpu.parallel.dp",
+    "neural_q_train_step_dp": "rlrpt_tpu.parallel.dp",
+}
+
+__all__ = list(_EXPORTS)
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+        return getattr(importlib.import_module(_EXPORTS[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

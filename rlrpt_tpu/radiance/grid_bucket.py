@@ -165,16 +165,37 @@ class VolumeClassTable:
     dims: tuple = dataclasses.field(metadata=dict(static=True))
     n_slots: int = dataclasses.field(metadata=dict(static=True))
 
+    @property
+    def nbytes(self) -> int:
+        """Device bytes of the answer table (the dominant allocation)."""
+        return int(self.table.size) * 4 + int(self.tri_class.size) * 4
+
+
+#: Default device-memory budget for the answer table.  Scenes with large
+#: extents would otherwise build extent^3-scaled tables unboundedly (the
+#: reference's archway Q-table alone is 272 MB, thesis tab:memory_usage).
+TABLE_MEM_BUDGET_BYTES = 256 << 20
+
 
 def build_volume_class_table(vols: RadianceVolumes, scene,
                              cell_size: float | None = None,
                              n_slots: int = 4,
-                             margin: float = 1e-3) -> VolumeClassTable:
+                             margin: float = 1e-3,
+                             mem_budget_bytes: int | None =
+                             TABLE_MEM_BUDGET_BYTES) -> VolumeClassTable:
     """Host-side (numpy + cKDTree) construction of the answer table.
 
     reach (how far a class answer may be from the cell) defaults to 1.5x
     the bucket grid's cell — the same neighbourhood the VolumeGrid search
     covers, itself modelled on the reference's KD pruning reach.
+
+    The table is (cells, 16) int32 = 64 B/cell, and cells scale with the
+    scene extent cubed; when the default cell size would exceed
+    `mem_budget_bytes` the cell is coarsened (cube-root law) to fit —
+    answer quantisation degrades gracefully toward the bucket search's
+    own cell scale.  Pass mem_budget_bytes=None (or an explicit
+    cell_size) to disable the cap.  The chosen size is queryable as
+    `table.nbytes`.
     """
     from scipy.spatial import cKDTree
 
@@ -191,6 +212,20 @@ def build_volume_class_table(vols: RadianceVolumes, scene,
     coarse = max(REFERENCE_REACH, 3.0 * _median_nn_distance(pos))
     cell = float(cell_size) if cell_size is not None else coarse / 4.0
     reach = 1.5 * coarse
+
+    extent = (pos.max(axis=0) + margin) - (pos.min(axis=0) - margin)
+
+    def _cells_at(c: float) -> int:
+        d = np.maximum(1, np.ceil(extent / c).astype(np.int64))
+        return int(d[0] * d[1] * d[2])
+
+    if cell_size is None and mem_budget_bytes is not None:
+        row_bytes = 64                     # (16,) int32 per cell
+        if _cells_at(cell) * row_bytes > mem_budget_bytes:
+            # Cube-root jump to the budget, then nudge past ceil effects.
+            cell *= (_cells_at(cell) * row_bytes / mem_budget_bytes) ** (1 / 3)
+            while _cells_at(cell) * row_bytes > mem_budget_bytes:
+                cell *= 1.05
 
     # Normal classes over the union of triangle and volume normals
     # (volumes inherit their triangle's normal, so byte-exact grouping is

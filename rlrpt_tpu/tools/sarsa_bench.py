@@ -135,7 +135,9 @@ def main(argv=None):
         grid = build_volume_class_table(vols, scene)
         print(json.dumps({"n_volumes": int(vols.n_volumes),
                           "search": "table",
-                          "cells": int(grid.table.shape[0])}), flush=True)
+                          "cells": int(grid.table.shape[0]),
+                          "table_mb": round(grid.nbytes / 2**20, 1)}),
+              flush=True)
     else:
         grid = build_volume_grid(vols)
         print(json.dumps({"n_volumes": int(vols.n_volumes),

@@ -165,3 +165,25 @@ def test_grid_payload_table_is_consistent():
     # Every volume appears in its own cell's list (k_max large enough here
     # for the test density) or that cell is full of strictly closer ones.
     assert used.any()
+
+
+def test_class_table_memory_budget_coarsens_cell():
+    from rlrpt_tpu.radiance.grid_bucket import (build_volume_class_table,
+                                                find_closest_volume_table)
+    scene = cornell_box()
+    rl = RadianceVolumeConfig(area_per_sample=0.02, max_volumes=512)
+    vols = build_radiance_volumes(scene, rl)
+    full = build_volume_class_table(vols, scene, mem_budget_bytes=None)
+    budget = 1 << 20                                 # 1 MB: forces coarsening
+    capped = build_volume_class_table(vols, scene, mem_budget_bytes=budget)
+    assert capped.nbytes <= budget + capped.tri_class.size * 4
+    assert capped.table.shape[0] < full.table.shape[0]
+    # Queries still resolve to valid volume ids and mostly agree with the
+    # uncapped table (coarser quantisation, same bounded-reach semantics).
+    qpos, _ = _surface_queries(scene)
+    tri = jnp.zeros((qpos.shape[0],), jnp.int32)
+    tri = jnp.asarray(np.repeat(np.arange(scene.n_surfaces), 4), jnp.int32)
+    a = np.asarray(find_closest_volume_table(full, qpos, tri))
+    b = np.asarray(find_closest_volume_table(capped, qpos, tri))
+    assert np.all((b >= 0) & (b < int(vols.n_volumes)))
+    assert np.mean(a == b) > 0.5, np.mean(a == b)
