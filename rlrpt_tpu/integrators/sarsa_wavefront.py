@@ -138,7 +138,9 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                                 pix_lo=0, n_pix_local: int | None = None,
                                 hit_mode: str = "mxu",
                                 sampler: str = "row",
-                                frame_mode: str = "hit"):
+                                frame_mode: str = "hit",
+                                drain_factor: int = _DRAIN_FACTOR,
+                                min_drain_w: int = _MIN_DRAIN_W):
     """One frame of regenerative SARSA tracing (no CDF rebuild, no jit).
 
     Returns (image_sum (n_pix_local,3) — SUM over spp, divide by spp for
@@ -434,9 +436,11 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
     # work.  Disabled under shard_map: per-device trip counts would diverge.
     widths = [w0]
     if axis_name is None:
-        while widths[-1] // _DRAIN_FACTOR >= _MIN_DRAIN_W:
-            widths.append(widths[-1] // _DRAIN_FACTOR)
+        while widths[-1] // drain_factor >= min_drain_w:
+            widths.append(widths[-1] // drain_factor)
 
+    phase_iters = []
+    prev_iters = jnp.int32(0)
     for i, wp in enumerate(widths):
         last = i == len(widths) - 1
         w_next = None if last else widths[i + 1]
@@ -451,6 +455,8 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
             return flag
 
         state = jax.lax.while_loop(cond, make_body(wp), state)
+        phase_iters.append(state.iters - prev_iters)
+        prev_iters = state.iters
         if not last:
             state = _compact(state, wp)
             # The tail [w_next:] is all-dead (live <= w_next and live rays
@@ -464,29 +470,33 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
 
     image = _flush(state.image, state.pixel, state.kmx, state.slot_rad)
     return (image, state.vols, state.path_sum, state.zclp, state.iters,
-            state.td_count)
+            state.td_count, jnp.stack(phase_iters), tuple(widths))
 
 
 @partial(jax.jit, static_argnames=("cfg", "rl", "pix_mux", "interpret",
-                                   "hit_mode", "sampler", "frame_mode"))
+                                   "hit_mode", "sampler", "frame_mode",
+                                   "drain_factor", "min_drain_w"))
 def render_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                                  vols: RadianceVolumes, grid: VolumeGrid,
                                  cfg: RenderConfig, rl: RadianceVolumeConfig,
                                  pix_mux: int = 1, interpret: bool = False,
                                  hit_mode: str = "mxu",
                                  sampler: str = "row",
-                                 frame_mode: str = "hit"):
+                                 frame_mode: str = "hit",
+                                 drain_factor: int = _DRAIN_FACTOR,
+                                 min_drain_w: int = _MIN_DRAIN_W):
     """Render one frame while learning; returns (image, volumes, aux).
 
     Drop-in fast replacement for reinforcement_tracer.render_frame_sarsa:
     same aux keys (avg_path_length, zero_contribution_light_paths), same
     per-frame CDF rebuild at the end (ref: main.cu:342-344).
     """
-    image_sum, vols, path_sum, zclp, iters, td_count = \
+    image_sum, vols, path_sum, zclp, iters, td_count, phase_iters, widths = \
         trace_frame_sarsa_wavefront(
             key, scene, camera, vols, grid, cfg, rl, pix_mux=pix_mux,
             interpret=interpret, hit_mode=hit_mode, sampler=sampler,
-            frame_mode=frame_mode)
+            frame_mode=frame_mode, drain_factor=drain_factor,
+            min_drain_w=min_drain_w)
     vols = rebuild_cdf(vols, rl.distribution_threshold)
     total = cfg.n_pixels * cfg.samples_per_pixel
     img = (image_sum / cfg.samples_per_pixel).reshape(
@@ -494,5 +504,7 @@ def render_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
     aux = {"avg_path_length": path_sum / total,
            "zero_contribution_light_paths": zclp,
            "wavefront_iterations": iters,
-           "td_scatter_count": td_count}
+           "td_scatter_count": td_count,
+           "phase_iterations": phase_iters,
+           "phase_widths": widths}
     return img, vols, aux

@@ -182,7 +182,7 @@ def render_frame_sarsa_wavefront_dp(key, scene: Scene, camera: Camera,
         def shard_fn(key, vols_r, grid_r):
             i = jax.lax.axis_index(RAY_AXIS)
             key = jax.random.fold_in(key, i)
-            img, vols_out, path_sum, zclp, iters, td_count = \
+            img, vols_out, path_sum, zclp, iters, td_count, _, _ = \
                 trace_frame_sarsa_wavefront(
                     key, scene, camera, vols_r, grid_r, cfg, rl,
                     pix_mux=pix_mux, axis_name=RAY_AXIS,

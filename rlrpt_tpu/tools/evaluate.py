@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import time
 
 import jax
@@ -61,14 +62,21 @@ def _mape(img, gt):
 
 def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                    sarsa_spp, nq_frames, nq_spp, area_per_sample, interpret,
-                   key, out_prefix=None, skip_nq=False,
-                   nq_impl="wavefront"):
-    """Returns a list of result-row dicts for one scene."""
+                   key, out_prefix=None, skip_nq=False, skip_sarsa=False,
+                   nq_impl="wavefront", russian_roulette=False):
+    """Returns a list of result-row dicts for one scene.
+
+    `russian_roulette=True` enables RR on every NON-GT render (method and
+    default test renders alike — RR is unbiased, so the GT stays plain;
+    BASELINE.json config #3: door_room 'RL + Russian roulette')."""
     from rlrpt_tpu.ops.megakernel import render_default_mega
 
     rows = []
-    mk_cfg = lambda s: RenderConfig(  # noqa: E731
+    mk_gt_cfg = lambda s: RenderConfig(  # noqa: E731
         width=size, height=size, samples_per_pixel=s, max_ray_bounces=bounces)
+    mk_cfg = lambda s: RenderConfig(  # noqa: E731
+        width=size, height=size, samples_per_pixel=s, max_ray_bounces=bounces,
+        russian_roulette=russian_roulette)
 
     def clock(fn):
         t0 = time.perf_counter()
@@ -92,7 +100,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
         for c, cs in enumerate(_split_chunks(gt_spp, 256)):
             img, _ = render_default_mega(
                 jax.random.fold_in(key, 999 + c), scene, cam,
-                mk_cfg(cs), r_tile=1024, pix_mux=8,
+                mk_gt_cfg(cs), r_tile=1024, pix_mux=8,
                 interpret=interpret, precision="highest")
             acc = img * cs if acc is None else acc + img * cs
             host_fence(acc)
@@ -113,51 +121,52 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
         write_png(f"{out_prefix}_default.png", np.asarray(img_d))
 
     # ---- expected SARSA: train N frames, then the test render ------------
-    from rlrpt_tpu.integrators.sarsa_wavefront import (
-        render_frame_sarsa_wavefront)
-    from rlrpt_tpu.radiance.grid_bucket import build_volume_class_table
-    from rlrpt_tpu.radiance.volumes import build_radiance_volumes
+    if not skip_sarsa:
+        from rlrpt_tpu.integrators.sarsa_wavefront import (
+            render_frame_sarsa_wavefront)
+        from rlrpt_tpu.radiance.grid_bucket import build_volume_class_table
+        from rlrpt_tpu.radiance.volumes import build_radiance_volumes
 
-    rl = RadianceVolumeConfig(area_per_sample=area_per_sample)
-    vols = build_radiance_volumes(scene, rl)
-    grid = build_volume_class_table(vols, scene)
-    t0 = time.perf_counter()
-    # Training frames chunk at <=8 spp (open scenes make one 32-spp
-    # dispatch exceed the tunnel's safe unfenced window — GT note); the
-    # total training budget is unchanged, the CDF rebuild just runs per
-    # chunk instead of per frame (more frequent than the reference's
-    # once-per-frame, same learning rule).
-    tr_chunks = _split_chunks(sarsa_spp, 8)
-    for f in range(sarsa_frames):
-        for c, cs in enumerate(tr_chunks):
-            _, vols, _ = render_frame_sarsa_wavefront(
-                jax.random.fold_in(key, 100 + f * len(tr_chunks) + c),
-                scene, cam, vols, grid, mk_cfg(cs), rl, pix_mux=4,
-                interpret=interpret)
-            host_fence(vols.q)
-    s_train_dt = time.perf_counter() - t0
-    # Chunked test render (watchdog, see GT note); learning continues
-    # across chunks exactly as the reference's test render keeps learning
-    # through its own frame.
-    def render_sarsa_test():
-        acc, v = None, vols
-        for c, cs in enumerate(_split_chunks(spp, 16)):
-            img, v, _ = render_frame_sarsa_wavefront(
-                jax.random.fold_in(key, 2000 + c), scene, cam, v, grid,
-                mk_cfg(cs), rl, pix_mux=4, interpret=interpret)
-            acc = img * cs if acc is None else acc + img * cs
-            host_fence(acc)
-        return acc / spp
+        rl = RadianceVolumeConfig(area_per_sample=area_per_sample)
+        vols = build_radiance_volumes(scene, rl)
+        grid = build_volume_class_table(vols, scene)
+        t0 = time.perf_counter()
+        # Training frames chunk at <=8 spp (open scenes make one 32-spp
+        # dispatch exceed the tunnel's safe unfenced window — GT note); the
+        # total training budget is unchanged, the CDF rebuild just runs per
+        # chunk instead of per frame (more frequent than the reference's
+        # once-per-frame, same learning rule).
+        tr_chunks = _split_chunks(sarsa_spp, 8)
+        for f in range(sarsa_frames):
+            for c, cs in enumerate(tr_chunks):
+                _, vols, _ = render_frame_sarsa_wavefront(
+                    jax.random.fold_in(key, 100 + f * len(tr_chunks) + c),
+                    scene, cam, vols, grid, mk_cfg(cs), rl, pix_mux=4,
+                    interpret=interpret)
+                host_fence(vols.q)
+        s_train_dt = time.perf_counter() - t0
+        # Chunked test render (watchdog, see GT note); learning continues
+        # across chunks exactly as the reference's test render keeps learning
+        # through its own frame.
+        def render_sarsa_test():
+            acc, v = None, vols
+            for c, cs in enumerate(_split_chunks(spp, 16)):
+                img, v, _ = render_frame_sarsa_wavefront(
+                    jax.random.fold_in(key, 2000 + c), scene, cam, v, grid,
+                    mk_cfg(cs), rl, pix_mux=4, interpret=interpret)
+                acc = img * cs if acc is None else acc + img * cs
+                host_fence(acc)
+            return acc / spp
 
-    img_s, s_dt = clock(render_sarsa_test)
-    rows.append({"method": "sarsa", "spp": spp,
-                 "mape": round(_mape(img_s, gt), 4),
-                 "train_frames": sarsa_frames, "train_spp": sarsa_spp,
-                 "n_volumes": int(vols.n_volumes),
-                 "train_sec": round(s_train_dt, 2),
-                 "render_sec": round(s_dt, 2)})
-    if out_prefix:
-        write_png(f"{out_prefix}_sarsa.png", np.asarray(img_s))
+        img_s, s_dt = clock(render_sarsa_test)
+        rows.append({"method": "sarsa", "spp": spp,
+                     "mape": round(_mape(img_s, gt), 4),
+                     "train_frames": sarsa_frames, "train_spp": sarsa_spp,
+                     "n_volumes": int(vols.n_volumes),
+                     "train_sec": round(s_train_dt, 2),
+                     "render_sec": round(s_dt, 2)})
+        if out_prefix:
+            write_png(f"{out_prefix}_sarsa.png", np.asarray(img_s))
 
     # ---- neural-Q: online-train N frames, then inference render ----------
     if not skip_nq:
@@ -220,6 +229,8 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
         r["gt_render_sec"] = round(gt_dt, 2)
         r["size"] = size
         r["bounces"] = bounces
+        if russian_roulette:
+            r["russian_roulette"] = True
     return rows
 
 
@@ -236,8 +247,14 @@ def main(argv=None):
     ap.add_argument("--nq-spp", type=int, default=8)
     ap.add_argument("--area-per-sample", type=float, default=0.001)
     ap.add_argument("--skip-nq", action="store_true")
+    ap.add_argument("--skip-sarsa", action="store_true")
     ap.add_argument("--nq-impl", choices=("wavefront", "lockstep"),
                     default="wavefront")
+    ap.add_argument("--russian-roulette", action="store_true",
+                    help="RR on all non-GT renders (BASELINE config #3)")
+    ap.add_argument("--append", action="store_true",
+                    help="merge rows into an existing --out file, "
+                         "replacing rows with the same (scene, method)")
     ap.add_argument("--out", default="EVAL.json")
     ap.add_argument("--out-prefix", default=None,
                     help="if set, write PNGs <prefix>_{gt,default,...}.png")
@@ -259,11 +276,19 @@ def main(argv=None):
         nq_spp=args.nq_spp, area_per_sample=args.area_per_sample,
         interpret=interpret, key=jax.random.PRNGKey(1984),
         out_prefix=args.out_prefix, skip_nq=args.skip_nq,
-        nq_impl=args.nq_impl)
+        skip_sarsa=args.skip_sarsa, nq_impl=args.nq_impl,
+        russian_roulette=args.russian_roulette)
     for r in rows:
         r["scene"] = args.scene
     result = {"protocol": "thesis MAPE (4_critical_evaluation.tex:47-69)",
               "backend": jax.default_backend(), "rows": rows}
+    if args.append and os.path.exists(args.out):
+        with open(args.out) as f:
+            old = json.load(f)
+        new_keys = {(r["scene"], r["method"]) for r in rows}
+        kept = [r for r in old.get("rows", [])
+                if (r.get("scene"), r.get("method")) not in new_keys]
+        result["rows"] = kept + rows
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))

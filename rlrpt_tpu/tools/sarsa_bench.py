@@ -87,6 +87,8 @@ def main(argv=None):
     ap.add_argument("--search", choices=("table", "grid"), default="table",
                     help="volume search: precomputed class-answer table "
                          "(fast) or bucketed candidate grid")
+    ap.add_argument("--drain-factor", type=int, default=4)
+    ap.add_argument("--min-drain-w", type=int, default=4096)
     args = ap.parse_args(argv)
 
     cfg = RenderConfig(width=args.width, height=args.height,
@@ -153,14 +155,20 @@ def main(argv=None):
 
     def run_sarsa(k):
         img, _, aux = render_frame_sarsa_wavefront(
-            k, scene, cam, vols, grid, cfg, rl, pix_mux=args.pix_mux)
+            k, scene, cam, vols, grid, cfg, rl, pix_mux=args.pix_mux,
+            drain_factor=args.drain_factor, min_drain_w=args.min_drain_w)
         last_aux["iters"] = aux["wavefront_iterations"]
+        last_aux["phase_iters"] = aux["phase_iterations"]
+        last_aux["phase_widths"] = aux["phase_widths"]
         return jnp.sum(img), aux["avg_path_length"]
 
     dt, plen = measure(run_sarsa, key, args.frames)
     out = {"which": "sarsa_wavefront", "sec_per_frame": round(dt, 4),
            "rays_per_sec": round(plen * total / dt, 1),
-           "iters": int(last_aux["iters"])}
+           "iters": int(last_aux["iters"]),
+           "pix_mux": args.pix_mux,
+           "phase_widths": [int(w) for w in last_aux["phase_widths"]],
+           "phase_iters": [int(x) for x in last_aux["phase_iters"]]}
     if wf_dt:
         out["overhead_vs_default_wavefront"] = round(dt / wf_dt - 1.0, 3)
     print(json.dumps(out), flush=True)
