@@ -64,7 +64,8 @@ from rlrpt_tpu.config import (RHO, DeepLearningConfig, RadianceVolumeConfig,
 from rlrpt_tpu.deep.neural_q import (default_optimizer, train_on_batches,
                                      _q_forward)
 from rlrpt_tpu.integrators.wavefront import _primary_dirs
-from rlrpt_tpu.nn.dq_network import DQNetworkParams
+from rlrpt_tpu.nn.dq_network import (DQNetworkParams, dq_apply,
+                                     dq_apply_relative)
 from rlrpt_tpu.ops import hemisphere as hs
 from rlrpt_tpu.ops.intersect_pallas import closest_hit_mat_mxu, pack_scene_mxu
 from rlrpt_tpu.ops.linalg import make_frame
@@ -158,12 +159,19 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
                                opt_state=None, epsilon=0.0,
                                train: bool = False, pix_mux: int = 1,
                                interpret: bool = False,
-                               pix_lo=0, n_pix_local: int | None = None):
+                               pix_lo=0, n_pix_local: int | None = None,
+                               mlp_dtype: str = "f32"):
     """One regenerative deep frame (no jit wrapper; see the renderers).
 
     Returns (image_sum, params, opt_state, path_sum, zclp, iters,
     loss_sum).  `train=False` freezes the net (pretrained mode, epsilon
     forced to 0 by the caller); `train=True` runs the online TD updates.
+
+    mlp_dtype "bf16" (inference only) runs the per-iteration Q forward in
+    bfloat16 — UNBIASED by construction: the sampler's pdf is computed
+    from the exact same (rounded) Q distribution the sector is drawn
+    from, so Q precision shifts which directions are favoured, never the
+    estimator's expectation; cos/pdf weights stay f32.
     """
     n_pix = cfg.n_pixels
     n_local = n_pix if n_pix_local is None else n_pix_local
@@ -176,6 +184,17 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
     optimizer = default_optimizer(dl) if train else None
     eps0 = jnp.asarray(epsilon, jnp.float32)
     cos_tbl = hs.sector_cos_thetas(gr)
+    if mlp_dtype not in ("f32", "bf16"):
+        raise ValueError(f"mlp_dtype must be 'f32' or 'bf16', "
+                         f"got {mlp_dtype!r}")
+    if train and mlp_dtype != "f32":
+        raise ValueError("bf16 forward is inference-only (training keeps "
+                         "the reference's f32 numerics)")
+    if mlp_dtype == "bf16":
+        fwd_params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), params)
+    else:
+        fwd_params = params
 
     k_init, k_loop = jax.random.split(key)
     pix0 = pix_lo + jnp.arange(w0, dtype=jnp.int32)
@@ -229,7 +248,19 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
             qpos = jnp.where(hit_surface[:, None], o + t[:, None] * d, 0.0)
 
             # ---- ONE forward: sampling distribution + TD bootstrap -------
-            qs = _q_forward(s.params, scene, qpos, dl)           # (W, S)
+            if train:
+                qs = _q_forward(s.params, scene, qpos, dl)       # (W, S)
+            else:
+                # Frozen net; every operand is cast so nothing silently
+                # promotes the matmuls back to f32.
+                dt = fwd_params.layers[0].w.dtype
+                if dl.train_on_position:
+                    qs = dq_apply(fwd_params, qpos.astype(dt))
+                else:
+                    qs = dq_apply_relative(fwd_params,
+                                           scene.vertices_flat.astype(dt),
+                                           qpos.astype(dt))
+                qs = qs.astype(jnp.float32)
 
             # ---- TD train on pending transitions (train mode) ------------
             if train:
@@ -388,22 +419,25 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
 
 
 @partial(jax.jit, static_argnames=("cfg", "rl", "dl", "pix_mux",
-                                   "interpret"))
+                                   "interpret", "mlp_dtype"))
 def render_frame_pretrained_wavefront(key, scene: Scene, camera: Camera,
                                       params: DQNetworkParams,
                                       cfg: RenderConfig,
                                       rl: RadianceVolumeConfig,
                                       dl: DeepLearningConfig,
                                       pix_mux: int = 8,
-                                      interpret: bool = False):
+                                      interpret: bool = False,
+                                      mlp_dtype: str = "f32"):
     """Fast inference-only render with a frozen net; returns (image, aux).
 
     Drop-in replacement for deep.pretrained.render_frame_pretrained (pure
     importance sampling, epsilon = 0 — ref: pre_trained_pathtracer.cu:286).
+    mlp_dtype='bf16' runs the Q forward on the MXU's native precision
+    (unbiased; see trace_frame_deep_wavefront).
     """
     image_sum, _, _, path_sum, zclp, iters, _ = trace_frame_deep_wavefront(
         key, scene, camera, params, cfg, rl, dl, train=False,
-        pix_mux=pix_mux, interpret=interpret)
+        pix_mux=pix_mux, interpret=interpret, mlp_dtype=mlp_dtype)
     total = cfg.n_pixels * cfg.samples_per_pixel
     img = (image_sum / cfg.samples_per_pixel).reshape(
         cfg.height, cfg.width, 3)

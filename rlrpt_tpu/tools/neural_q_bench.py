@@ -68,6 +68,8 @@ def main(argv=None):
     ap.add_argument("--pix-mux", type=int, default=8,
                     help="wavefront impl: pixels multiplexed per slot")
     ap.add_argument("--train-on-position", action="store_true")
+    ap.add_argument("--mlp-dtype", choices=("f32", "bf16"), default="f32",
+                    help="pretrained-wavefront forward precision")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-pretrained", action="store_true")
     args = ap.parse_args(argv)
@@ -140,7 +142,8 @@ def main(argv=None):
             def run_inf(k):
                 img, aux = render_frame_pretrained_wavefront(
                     k, scene, cam, params, cfg, rl, dl,
-                    pix_mux=args.pix_mux, interpret=interp)
+                    pix_mux=args.pix_mux, interpret=interp,
+                    mlp_dtype=args.mlp_dtype)
                 return jnp.sum(img), aux["avg_path_length"]
         else:
             from rlrpt_tpu.deep.pretrained import render_frame_pretrained
@@ -156,6 +159,7 @@ def main(argv=None):
             "which": f"neural_q_pretrained_{args.impl}",
             "sec_per_frame": round(dt, 4), "spp": args.spp,
             "size": args.size, "pix_mux": args.pix_mux,
+            "mlp_dtype": args.mlp_dtype,
             "rays_per_sec": round(plen * total / dt, 1)}), flush=True)
 
 

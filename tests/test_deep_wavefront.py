@@ -115,3 +115,19 @@ def test_neural_q_wavefront_image_brightness_sane():
     mw, ml = float(jnp.mean(img_w)), float(jnp.mean(img_l))
     assert mw > 0.0 and ml > 0.0
     assert 0.3 < mw / ml < 3.0, (mw, ml)
+
+
+def test_pretrained_bf16_forward_matches_statistically():
+    scene, params, _ = _setup()
+    img32, _ = render_frame_pretrained_wavefront(
+        jax.random.PRNGKey(8), scene, _CAM, params, _CFG, _RL, _DL,
+        interpret=True)
+    img16, _ = render_frame_pretrained_wavefront(
+        jax.random.PRNGKey(8), scene, _CAM, params, _CFG, _RL, _DL,
+        interpret=True, mlp_dtype="bf16")
+    img32b, _ = render_frame_pretrained_wavefront(
+        jax.random.PRNGKey(9), scene, _CAM, params, _CFG, _RL, _DL,
+        interpret=True)
+    noise = float(jnp.mean(jnp.abs(img32 - img32b)))
+    err = float(jnp.mean(jnp.abs(img16 - img32)))
+    assert err < 3.0 * noise + 1e-3, (err, noise)
