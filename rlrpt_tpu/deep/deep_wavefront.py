@@ -73,7 +73,9 @@ from rlrpt_tpu.scene.scene import Scene
 
 _INF_CUT = jnp.float32(1.0e38)
 _DRAIN_FACTOR = 4
-_MIN_DRAIN_W = 4096
+#: Floor 512 per the r4 sarsa drain ablation (the straggler tail runs at
+#: 1/16..1/128 of full width; see integrators/sarsa_wavefront.py).
+_MIN_DRAIN_W = 512
 
 
 class _State(NamedTuple):

@@ -75,8 +75,12 @@ from rlrpt_tpu.scene.scene import Scene
 _INF_CUT = jnp.float32(1.0e38)
 
 #: Width divisor between cascaded drain phases and the narrowest phase run.
+#: r4 on-chip ablation (tools/sarsa_bench.py --min-drain-w): the floor-4096
+#: cascade left a 141-iteration straggler tail at width 16200 (2/3 of all
+#: iterations); floor 512 splits it into [27@16200, 22@4050, 101@1012] and
+#: took the bench frame 0.577 -> 0.448 s.
 _DRAIN_FACTOR = 4
-_MIN_DRAIN_W = 4096
+_MIN_DRAIN_W = 512
 
 
 class _State(NamedTuple):
