@@ -136,10 +136,15 @@ def _sample_q_directions(k_dir, qs, normal, eps_lane, gr: int,
     q_dist = jnp.where(total > 0.0, w / jnp.where(total == 0, 1.0, total),
                        uniform)
     cdf = jnp.cumsum(q_dist, axis=-1)
-    r = jax.random.uniform(k_r, (qs.shape[0], 1), dtype=jnp.float32)
+    n = qs.shape[0]
+    r = jax.random.uniform(k_r, (n, 1), dtype=jnp.float32)
     sector_imp = jnp.minimum(jnp.sum(cdf <= r, axis=-1), s - 1) \
         .astype(jnp.int32)
-    p_imp = jnp.take_along_axis(q_dist, sector_imp[:, None], axis=-1)[:, 0]
+    # One-hot select, not take_along_axis — per-row dynamic indexing is a
+    # latency-bound gather on TPU (see volumes.sample_from_cdf_rows).
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, s), 1)
+    p_imp = jnp.sum(jnp.where(iota == sector_imp[:, None], q_dist, 0.0),
+                    axis=-1)
     pdf_imp = RHO * (p_imp / grid_rho)
 
     u = jax.random.uniform(k_rand, (qs.shape[0],), dtype=jnp.float32)

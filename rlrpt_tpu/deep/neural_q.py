@@ -132,7 +132,11 @@ def sample_directions(key, qs, state: NeuralQState, epsilon,
     cdf = jnp.cumsum(q_dist, axis=-1)
     r = jax.random.uniform(k_r, (qs.shape[0], 1), dtype=jnp.float32)
     sector_imp = jnp.minimum(jnp.sum(cdf <= r, axis=-1), s - 1).astype(jnp.int32)
-    p_imp = jnp.take_along_axis(q_dist, sector_imp[:, None], axis=-1)[:, 0]
+    # One-hot select, not take_along_axis (latency-bound gather on TPU —
+    # see volumes.sample_from_cdf_rows).
+    iota = jax.lax.broadcasted_iota(jnp.int32, q_dist.shape, 1)
+    p_imp = jnp.sum(jnp.where(iota == sector_imp[:, None], q_dist, 0.0),
+                    axis=-1)
     pdf_imp = RHO * (p_imp / grid_rho)
 
     # Explore branch: uniform random sector, pdf treated as the uniform-
@@ -250,7 +254,12 @@ def train_on_batches(params, opt_state, optimizer, scene: Scene,
 
         def loss_fn(pp):
             q = _q_forward(pp, scene, c_loc, dl)
-            qa = jnp.take_along_axis(q, c_act[:, None], axis=-1)[:, 0]
+            # One-hot select (== pick(action)); take_along_axis is a
+            # latency-bound gather on TPU and this runs once per
+            # minibatch per bounce.
+            iota = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+            qa = jnp.sum(jnp.where(iota == c_act[:, None], q, 0.0),
+                         axis=-1)
             return jnp.sum(c_mask * (c_td - qa) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(p)

@@ -162,15 +162,20 @@ def sample_from_cdf_rows(key, rows: jnp.ndarray, frames: jnp.ndarray,
     every dynamic gather costs ~4-6 ms per 518400 queries regardless of
     row size, so fusing gathers is the whole game."""
     s = grid_resolution * grid_resolution
+    n = rows.shape[0]
     k1, k2 = jax.random.split(key)
-    r = jax.random.uniform(k1, (rows.shape[0], 1), dtype=jnp.float32)
+    r = jax.random.uniform(k1, (n, 1), dtype=jnp.float32)
     sector = jnp.sum(rows < r, axis=-1).astype(jnp.int32)
     sector = jnp.minimum(sector, s - 1)
-    hi = jnp.take_along_axis(rows, sector[:, None], axis=-1)[:, 0]
-    lo = jnp.where(sector > 0,
-                   jnp.take_along_axis(rows, jnp.maximum(sector - 1, 0)[:, None],
-                                       axis=-1)[:, 0],
-                   0.0)
+    # hi/lo via one-hot reductions over the row already in registers —
+    # NOT take_along_axis: a per-row dynamic index is a latency-bound
+    # gather (~0.6 ms per 64.8k rays on a v5e), and the r4 ablation
+    # showed the two of them dominating the whole SARSA frame.  The
+    # one-hot selects are exact (same row values), so results are
+    # bitwise identical.
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, s), 1)
+    hi = jnp.sum(jnp.where(iota == sector[:, None], rows, 0.0), axis=-1)
+    lo = jnp.sum(jnp.where(iota == sector[:, None] - 1, rows, 0.0), axis=-1)
     pdf = RHO * ((hi - lo) / grid_rho)
     d = hs.sample_sector_direction(k2, sector, frames, grid_resolution)
     return d, sector, pdf

@@ -88,7 +88,7 @@ def main(argv=None):
                     help="volume search: precomputed class-answer table "
                          "(fast) or bucketed candidate grid")
     ap.add_argument("--drain-factor", type=int, default=4)
-    ap.add_argument("--min-drain-w", type=int, default=4096)
+    ap.add_argument("--min-drain-w", type=int, default=512)
     args = ap.parse_args(argv)
 
     cfg = RenderConfig(width=args.width, height=args.height,
