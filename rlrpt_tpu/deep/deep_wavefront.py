@@ -167,12 +167,19 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
                                train: bool = False, pix_mux: int = 1,
                                interpret: bool = False,
                                pix_lo=0, n_pix_local: int | None = None,
-                               mlp_dtype: str = "f32"):
+                               mlp_dtype: str = "f32", axis_name=None):
     """One regenerative deep frame (no jit wrapper; see the renderers).
 
     Returns (image_sum, params, opt_state, path_sum, zclp, iters,
     loss_sum).  `train=False` freezes the net (pretrained mode, epsilon
     forced to 0 by the caller); `train=True` runs the online TD updates.
+
+    Under shard_map (`axis_name` set, pix_lo/n_pix_local carving this
+    device's pixel range) the loop condition is made uniform across
+    devices, training gradients are psum'd per minibatch (identical
+    replicated Adam update), and the drain cascade is disabled (its trip
+    counts would diverge per device) — same scheme as
+    integrators.sarsa_wavefront.
 
     mlp_dtype "bf16" (inference only) runs the per-iteration Q forward in
     bfloat16 — UNBIASED by construction: the sampler's pdf is computed
@@ -285,7 +292,8 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
                 params_new, opt_new, loss = train_on_batches(
                     s.params, s.opt_state, optimizer, scene, prev_loc,
                     jnp.maximum(action, 0), jax.lax.stop_gradient(td), dl,
-                    weights=pending.astype(jnp.float32))
+                    weights=pending.astype(jnp.float32),
+                    axis_name=axis_name)
                 loss_sum = s.loss_sum + loss
             else:
                 params_new, opt_new, loss_sum = (s.params, s.opt_state,
@@ -397,8 +405,9 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
         return image.at[flat].add(data, mode="drop")
 
     widths = [w0]
-    while widths[-1] // _DRAIN_FACTOR >= _MIN_DRAIN_W:
-        widths.append(widths[-1] // _DRAIN_FACTOR)
+    if axis_name is None:
+        while widths[-1] // _DRAIN_FACTOR >= _MIN_DRAIN_W:
+            widths.append(widths[-1] // _DRAIN_FACTOR)
 
     for i, wp in enumerate(widths):
         last = i == len(widths) - 1
@@ -407,6 +416,8 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
         def cond(s: _State, w_next=w_next):
             live = jnp.sum(s.active.astype(jnp.int32))
             flag = live > 0
+            if axis_name is not None:
+                flag = jax.lax.psum(flag.astype(jnp.int32), axis_name) > 0
             if w_next is not None:
                 flag = flag & (live > w_next)
             return flag

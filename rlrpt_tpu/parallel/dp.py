@@ -255,3 +255,121 @@ def neural_q_train_step_dp(key, scene: Scene, camera: Camera, params,
         return tp[:r], params, opt_state, loss
 
     return step(key, params, opt_state)
+
+
+def render_frame_pretrained_wavefront_dp(key, scene: Scene, camera: Camera,
+                                         params, cfg: RenderConfig,
+                                         rl: RadianceVolumeConfig,
+                                         dl: DeepLearningConfig, mesh=None,
+                                         pix_mux: int = 4,
+                                         interpret: bool = False,
+                                         mlp_dtype: str = "f32"):
+    """Sharded regenerative pretrained render (frozen net).
+
+    Each device owns a contiguous pixel range and its own wavefront; the
+    net replicates, the loop condition is uniform, and there are zero
+    per-iteration collectives (inference needs none).  Returns
+    (image, aux) like deep_wavefront.render_frame_pretrained_wavefront.
+    """
+    from rlrpt_tpu.deep.deep_wavefront import trace_frame_deep_wavefront
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    scene = scene.to_device()
+    n_pix = cfg.n_pixels
+    n_local = -(-n_pix // n_dev)
+
+    @jax.jit
+    def frame(key, params):
+        def shard_fn(key, params_r):
+            i = jax.lax.axis_index(RAY_AXIS)
+            key = jax.random.fold_in(key, i)
+            img, _, _, path_sum, zclp, iters, _ = \
+                trace_frame_deep_wavefront(
+                    key, scene, camera, params_r, cfg, rl, dl, train=False,
+                    pix_mux=pix_mux, interpret=interpret,
+                    pix_lo=i * n_local, n_pix_local=n_local,
+                    mlp_dtype=mlp_dtype, axis_name=RAY_AXIS)
+            path_sum = jax.lax.psum(path_sum, RAY_AXIS)
+            zclp = jax.lax.psum(zclp, RAY_AXIS)
+            return img, path_sum, zclp, iters
+
+        traced = shard_map(shard_fn, mesh=mesh,
+                           in_specs=(P(), P()),
+                           out_specs=(P(RAY_AXIS), P(), P(), P()),
+                           check_vma=False)
+        img_sum, path_sum, zclp, iters = traced(key, params)
+        img_sum = img_sum[:n_pix]
+        total = n_pix * cfg.samples_per_pixel
+        img = (img_sum / cfg.samples_per_pixel).reshape(
+            cfg.height, cfg.width, 3)
+        aux = {"avg_path_length": path_sum / total,
+               "zero_contribution_light_paths": zclp,
+               "wavefront_iterations": iters}
+        return img, aux
+
+    return frame(key, params)
+
+
+def render_frame_neural_q_wavefront_dp(key, scene: Scene, camera: Camera,
+                                       params, opt_state, epsilon,
+                                       cfg: RenderConfig,
+                                       rl: RadianceVolumeConfig,
+                                       dl: DeepLearningConfig, mesh=None,
+                                       pix_mux: int = 4,
+                                       interpret: bool = False):
+    """Sharded regenerative neural-Q training frame.
+
+    Per-minibatch gradients are psum'd over the ray axis before the
+    replicated Adam update; the local minibatch shrinks by the device
+    count so the GLOBAL minibatch keeps the reference's 4096-ray
+    semantics.  Returns (image, params, opt_state, epsilon, aux) like
+    deep_wavefront.render_frame_neural_q_wavefront.
+    """
+    from rlrpt_tpu.deep.deep_wavefront import trace_frame_deep_wavefront
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    scene = scene.to_device()
+    n_pix = cfg.n_pixels
+    n_local = -(-n_pix // n_dev)
+    dl_local = dataclasses.replace(dl,
+                                   batch_size=max(1, dl.batch_size // n_dev))
+
+    @jax.jit
+    def frame(key, params, opt_state):
+        def shard_fn(key, params_r, opt_r):
+            i = jax.lax.axis_index(RAY_AXIS)
+            key = jax.random.fold_in(key, i)
+            img, params_out, opt_out, path_sum, zclp, iters, loss = \
+                trace_frame_deep_wavefront(
+                    key, scene, camera, params_r, cfg, rl, dl_local,
+                    opt_state=opt_r, epsilon=epsilon, train=True,
+                    pix_mux=pix_mux, interpret=interpret,
+                    pix_lo=i * n_local, n_pix_local=n_local,
+                    axis_name=RAY_AXIS)
+            path_sum = jax.lax.psum(path_sum, RAY_AXIS)
+            zclp = jax.lax.psum(zclp, RAY_AXIS)
+            return img, params_out, opt_out, path_sum, zclp, iters, loss
+
+        traced = shard_map(shard_fn, mesh=mesh,
+                           in_specs=(P(), P(), P()),
+                           out_specs=(P(RAY_AXIS), P(), P(), P(), P(), P(),
+                                      P()),
+                           check_vma=False)
+        img_sum, params_out, opt_out, path_sum, zclp, iters, loss = traced(
+            key, params, opt_state)
+        img_sum = img_sum[:n_pix]
+        total = n_pix * cfg.samples_per_pixel
+        img = (img_sum / cfg.samples_per_pixel).reshape(
+            cfg.height, cfg.width, 3)
+        eps_next = jnp.maximum(
+            jnp.asarray(epsilon, jnp.float32)
+            - dl.epsilon_decay * cfg.samples_per_pixel, dl.epsilon_min)
+        aux = {"avg_path_length": path_sum / total,
+               "loss": loss,
+               "zero_contribution_light_paths": zclp,
+               "wavefront_iterations": iters}
+        return img, params_out, opt_out, eps_next, aux
+
+    return frame(key, params, opt_state)

@@ -105,3 +105,45 @@ def test_sarsa_wavefront_dp_matches_single_device():
     assert int(np.asarray(vols_dp.visits).sum()) > 0
     q = jax.device_get(vols_dp.q)
     assert np.isfinite(q).all()
+
+
+def test_deep_wavefront_dp_pretrained_and_train():
+    from rlrpt_tpu.parallel.dp import (
+        render_frame_neural_q_wavefront_dp,
+        render_frame_pretrained_wavefront_dp)
+    from rlrpt_tpu.deep.deep_wavefront import (
+        render_frame_pretrained_wavefront)
+
+    scene = cornell_box()
+    cam = Camera.create([0.0, 0.0, -3.0])
+    cfg = RenderConfig(width=24, height=24, samples_per_pixel=4,
+                       max_ray_bounces=8, ray_tile=1024)
+    dl = DeepLearningConfig(batch_size=256, hidden_sizes=(32, 48, 32))
+    params, opt_state = init_neural_q(jax.random.PRNGKey(7), scene, dl,
+                                      _RL.grid_resolution)
+
+    img_dp, aux_dp = render_frame_pretrained_wavefront_dp(
+        jax.random.PRNGKey(3), scene, cam, params, cfg, _RL, dl,
+        interpret=True)
+    img_1, _ = render_frame_pretrained_wavefront(
+        jax.random.PRNGKey(3), scene, cam, params, cfg, _RL, dl,
+        interpret=True)
+    img_1b, _ = render_frame_pretrained_wavefront(
+        jax.random.PRNGKey(4), scene, cam, params, cfg, _RL, dl,
+        interpret=True)
+    noise = float(np.mean(np.abs(np.asarray(img_1) - np.asarray(img_1b))))
+    err = float(np.mean(np.abs(np.asarray(img_dp) - np.asarray(img_1))))
+    assert err < 3.0 * noise + 1e-3, (err, noise)
+
+    img_t, params2, opt2, eps2, aux_t = render_frame_neural_q_wavefront_dp(
+        jax.random.PRNGKey(5), scene, cam, params, opt_state, 1.0, cfg,
+        _RL, dl, interpret=True)
+    assert np.isfinite(np.asarray(img_t)).all()
+    assert np.isfinite(float(aux_t["loss"]))
+    moved = any(
+        float(jnp.max(jnp.abs(a - b))) > 0.0
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params2)))
+    assert moved
+    for leaf in jax.tree_util.tree_leaves(params2):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
