@@ -81,6 +81,15 @@ def test_neural_q_wavefront_trains():
     assert bool(jnp.all(img >= 0.0))
     assert all(np.isfinite(losses)), losses
     assert losses[0] > 0.0
+    # Learning health: zero-contribution paths fall as the net finds the
+    # light (the reference's stats trajectory, nn_training_stats.txt).
+    # Loss itself RISES early at small budgets (Q magnitudes grow from
+    # the zero-ish init faster than errors shrink), and at this tiny test
+    # budget (24x24x4spp x 3 frames) the zclp trend carries ~1.5% MC
+    # noise — so assert no-regression with 3% slack; the on-chip
+    # artifact (tools/nn_training_stats.py, 64x64 CPU check: 14771 ->
+    # 14128 over 10 frames) records the real monotone trajectory.
+    assert zclps[-1] <= zclps[0] * 1.03, zclps
     # epsilon advanced by spp decays per frame, floored.
     expected = max(1.0 - 3 * _CFG.samples_per_pixel * _DL.epsilon_decay,
                    _DL.epsilon_min)
