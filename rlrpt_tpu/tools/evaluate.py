@@ -63,7 +63,8 @@ def _mape(img, gt):
 def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                    sarsa_spp, nq_frames, nq_spp, area_per_sample, interpret,
                    key, out_prefix=None, skip_nq=False, skip_sarsa=False,
-                   nq_impl="wavefront", russian_roulette=False):
+                   nq_impl="wavefront", russian_roulette=False,
+                   sarsa_search="table"):
     """Returns a list of result-row dicts for one scene.
 
     `russian_roulette=True` enables RR on every NON-GT render (method and
@@ -72,6 +73,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
     from rlrpt_tpu.ops.megakernel import render_default_mega
 
     rows = []
+    rl = RadianceVolumeConfig(area_per_sample=area_per_sample)
     mk_gt_cfg = lambda s: RenderConfig(  # noqa: E731
         width=size, height=size, samples_per_pixel=s, max_ray_bounces=bounces)
     mk_cfg = lambda s: RenderConfig(  # noqa: E731
@@ -127,9 +129,12 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
         from rlrpt_tpu.radiance.grid_bucket import build_volume_class_table
         from rlrpt_tpu.radiance.volumes import build_radiance_volumes
 
-        rl = RadianceVolumeConfig(area_per_sample=area_per_sample)
         vols = build_radiance_volumes(scene, rl)
-        grid = build_volume_class_table(vols, scene)
+        if sarsa_search == "table":
+            grid = build_volume_class_table(vols, scene)
+        else:
+            from rlrpt_tpu.radiance.grid_bucket import build_volume_grid
+            grid = build_volume_grid(vols)
         t0 = time.perf_counter()
         # Training frames chunk at <=8 spp (open scenes make one 32-spp
         # dispatch exceed the tunnel's safe unfenced window — GT note); the
@@ -163,6 +168,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                      "mape": round(_mape(img_s, gt), 4),
                      "train_frames": sarsa_frames, "train_spp": sarsa_spp,
                      "n_volumes": int(vols.n_volumes),
+                     "search": sarsa_search,
                      "train_sec": round(s_train_dt, 2),
                      "render_sec": round(s_dt, 2)})
         if out_prefix:
@@ -252,6 +258,8 @@ def main(argv=None):
                     default="wavefront")
     ap.add_argument("--russian-roulette", action="store_true",
                     help="RR on all non-GT renders (BASELINE config #3)")
+    ap.add_argument("--sarsa-search", choices=("table", "grid"),
+                    default="table")
     ap.add_argument("--append", action="store_true",
                     help="merge rows into an existing --out file, "
                          "replacing rows with the same (scene, method)")
@@ -277,7 +285,8 @@ def main(argv=None):
         interpret=interpret, key=jax.random.PRNGKey(1984),
         out_prefix=args.out_prefix, skip_nq=args.skip_nq,
         skip_sarsa=args.skip_sarsa, nq_impl=args.nq_impl,
-        russian_roulette=args.russian_roulette)
+        russian_roulette=args.russian_roulette,
+        sarsa_search=args.sarsa_search)
     for r in rows:
         r["scene"] = args.scene
     result = {"protocol": "thesis MAPE (4_critical_evaluation.tex:47-69)",
