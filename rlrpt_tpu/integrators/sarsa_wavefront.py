@@ -144,7 +144,8 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                                 sampler: str = "row",
                                 frame_mode: str = "hit",
                                 drain_factor: int = _DRAIN_FACTOR,
-                                min_drain_w: int = _MIN_DRAIN_W):
+                                min_drain_w: int = _MIN_DRAIN_W,
+                                cdf_dtype: str = "f32"):
     """One frame of regenerative SARSA tracing (no CDF rebuild, no jit).
 
     Returns (image_sum (n_pix_local,3) — SUM over spp, divide by spp for
@@ -159,6 +160,15 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
     wavefront_dp gives each device a contiguous range); single-device
     callers leave the defaults (the whole frame).  pix_lo may be traced
     (e.g. derived from axis_index); n_pix_local must be static.
+
+    cdf_dtype "bf16" stores the carried cdf+irradiance rows in bfloat16,
+    halving the per-iteration row gather's bytes.  UNBIASED for the
+    image: the sector is drawn by comparing r against the same rounded
+    CDF whose hi-lo difference becomes the pdf, so sampling probability
+    and pdf agree exactly (a quantised-but-consistent distribution); the
+    TD bootstrap irradiance carries bf16 rounding (~0.4%), noise far
+    below the learning signal (the reference's updates race, thesis
+    4_critical_evaluation.tex:266).
     """
     n_pix = cfg.n_pixels
     n_local = n_pix if n_pix_local is None else n_pix_local
@@ -211,7 +221,9 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
         cur_brdf=jnp.zeros((w0,), jnp.float32),
         image=jnp.zeros((n_local, 3), jnp.float32),
         cdfplus=jnp.concatenate(
-            [vols.cdf, irradiance_estimates(vols)[:, None]], axis=1),
+            [vols.cdf, irradiance_estimates(vols)[:, None]],
+            axis=1).astype(jnp.bfloat16 if cdf_dtype == "bf16"
+                           else jnp.float32),
         path_sum=jnp.float32(0.0), zclp=jnp.int32(0), iters=jnp.int32(0),
         td_count=jnp.int32(0),
         vols=vols)
@@ -282,7 +294,11 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                 next_vol = find_closest_volume_grid(grid, hit_pos, qnorm)
 
             # ---- fused CDF row + irradiance-bootstrap gather --------------
-            vrow = s.cdfplus[next_vol]                       # (N, S+1)
+            # Cast AFTER the gather: the gather moves cdf_dtype bytes; the
+            # f32 cast makes the sampler's hi-lo pdf subtraction exact
+            # (bf16 values are exactly representable in f32, so pdf ==
+            # the true sampling probability — no quantisation bias).
+            vrow = s.cdfplus[next_vol].astype(jnp.float32)   # (N, S+1)
             irr_b = vrow[:, -1]
 
             # ---- TD update of the previously chosen sector ----------------
@@ -310,7 +326,9 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
             vols_new = apply_sarsa_contributions(s.vols, sum_t, cnt,
                                                  rl.radiance_threshold)
             cdfplus_new = jax.lax.dynamic_update_slice(
-                s.cdfplus, irradiance_estimates(vols_new)[:, None],
+                s.cdfplus,
+                irradiance_estimates(vols_new)[:, None]
+                .astype(s.cdfplus.dtype),
                 (0, s.cdfplus.shape[1] - 1))
 
             # ---- terminal contributions -----------------------------------
@@ -479,7 +497,8 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
 
 @partial(jax.jit, static_argnames=("cfg", "rl", "pix_mux", "interpret",
                                    "hit_mode", "sampler", "frame_mode",
-                                   "drain_factor", "min_drain_w"))
+                                   "drain_factor", "min_drain_w",
+                                   "cdf_dtype"))
 def render_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                                  vols: RadianceVolumes, grid: VolumeGrid,
                                  cfg: RenderConfig, rl: RadianceVolumeConfig,
@@ -488,7 +507,8 @@ def render_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
                                  sampler: str = "row",
                                  frame_mode: str = "hit",
                                  drain_factor: int = _DRAIN_FACTOR,
-                                 min_drain_w: int = _MIN_DRAIN_W):
+                                 min_drain_w: int = _MIN_DRAIN_W,
+                                 cdf_dtype: str = "f32"):
     """Render one frame while learning; returns (image, volumes, aux).
 
     Drop-in fast replacement for reinforcement_tracer.render_frame_sarsa:
@@ -500,7 +520,7 @@ def render_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
             key, scene, camera, vols, grid, cfg, rl, pix_mux=pix_mux,
             interpret=interpret, hit_mode=hit_mode, sampler=sampler,
             frame_mode=frame_mode, drain_factor=drain_factor,
-            min_drain_w=min_drain_w)
+            min_drain_w=min_drain_w, cdf_dtype=cdf_dtype)
     vols = rebuild_cdf(vols, rl.distribution_threshold)
     total = cfg.n_pixels * cfg.samples_per_pixel
     img = (image_sum / cfg.samples_per_pixel).reshape(

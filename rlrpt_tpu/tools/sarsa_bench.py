@@ -89,6 +89,7 @@ def main(argv=None):
                          "(fast) or bucketed candidate grid")
     ap.add_argument("--drain-factor", type=int, default=4)
     ap.add_argument("--min-drain-w", type=int, default=512)
+    ap.add_argument("--cdf-dtype", choices=("f32", "bf16"), default="f32")
     args = ap.parse_args(argv)
 
     cfg = RenderConfig(width=args.width, height=args.height,
@@ -156,7 +157,8 @@ def main(argv=None):
     def run_sarsa(k):
         img, _, aux = render_frame_sarsa_wavefront(
             k, scene, cam, vols, grid, cfg, rl, pix_mux=args.pix_mux,
-            drain_factor=args.drain_factor, min_drain_w=args.min_drain_w)
+            drain_factor=args.drain_factor, min_drain_w=args.min_drain_w,
+            cdf_dtype=args.cdf_dtype)
         last_aux["iters"] = aux["wavefront_iterations"]
         last_aux["phase_iters"] = aux["phase_iterations"]
         last_aux["phase_widths"] = aux["phase_widths"]
@@ -166,7 +168,7 @@ def main(argv=None):
     out = {"which": "sarsa_wavefront", "sec_per_frame": round(dt, 4),
            "rays_per_sec": round(plen * total / dt, 1),
            "iters": int(last_aux["iters"]),
-           "pix_mux": args.pix_mux,
+           "pix_mux": args.pix_mux, "cdf_dtype": args.cdf_dtype,
            "phase_widths": [int(w) for w in last_aux["phase_widths"]],
            "phase_iters": [int(x) for x in last_aux["phase_iters"]]}
     if wf_dt:

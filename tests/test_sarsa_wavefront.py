@@ -193,3 +193,24 @@ def test_hier_sampler_matches_row_sampler_distribution():
     common = sorted(set(m_row) & set(m_h))[:20]
     for smp in common:
         np.testing.assert_allclose(m_row[smp], m_h[smp], rtol=2e-4)
+
+
+def test_bf16_cdf_rows_match_statistically():
+    """bf16 CDF rows sample from a quantised-but-consistent distribution
+    (pdf == true sampling probability, computed exactly in f32 after the
+    gather), so images agree with f32 rows within MC noise."""
+    scene, vols, grid = _setup()
+    img32, v32, _ = render_frame_sarsa_wavefront(
+        jax.random.PRNGKey(8), scene, _CAM, vols, grid, _CFG, _RL,
+        interpret=True)
+    img16, v16, _ = render_frame_sarsa_wavefront(
+        jax.random.PRNGKey(8), scene, _CAM, vols, grid, _CFG, _RL,
+        interpret=True, cdf_dtype="bf16")
+    img32b, _, _ = render_frame_sarsa_wavefront(
+        jax.random.PRNGKey(9), scene, _CAM, vols, grid, _CFG, _RL,
+        interpret=True)
+    noise = float(jnp.mean(jnp.abs(img32 - img32b)))
+    err = float(jnp.mean(jnp.abs(img16 - img32)))
+    assert err < 3.0 * noise + 1e-3, (err, noise)
+    # Learning continues sanely under the quantised bootstrap.
+    assert bool(jnp.all(jnp.isfinite(v16.q)))
