@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precompute-spp", type=int, default=16)
     p.add_argument("--pix-mux", type=int, default=4,
                    help="pixels per wavefront slot (sarsa-fast)")
+    p.add_argument("--impl", choices=("wavefront", "lockstep"),
+                   default="wavefront",
+                   help="pretrained/neural-q schedule: the regenerative "
+                        "slot wavefront (production, deep/deep_wavefront) "
+                        "or the reference-shaped lockstep")
+    p.add_argument("--mlp-dtype", choices=("f32", "bf16"), default="f32",
+                   help="pretrained-wavefront Q-forward precision")
     p.add_argument("--russian-roulette", action="store_true")
     p.add_argument("--rr-start-bounce", type=int, default=3)
     p.add_argument("--rr-min-prob", type=float, default=0.05)
@@ -225,9 +232,17 @@ def main(argv=None) -> int:
         params, opt_state = init_neural_q(key, scene, dl, rl.grid_resolution)
 
     if args.mode == "pretrained":
-        from rlrpt_tpu.deep.pretrained import render_frame_pretrained
-        img, aux = render_frame_pretrained(key, scene, camera, params, cfg,
-                                           rl, dl)
+        if args.impl == "wavefront":
+            from rlrpt_tpu.deep.deep_wavefront import (
+                render_frame_pretrained_wavefront)
+            img, aux = render_frame_pretrained_wavefront(
+                key, scene, camera, params, cfg, rl, dl,
+                pix_mux=args.pix_mux, interpret=interp,
+                mlp_dtype=args.mlp_dtype)
+        else:
+            from rlrpt_tpu.deep.pretrained import render_frame_pretrained
+            img, aux = render_frame_pretrained(key, scene, camera, params,
+                                               cfg, rl, dl)
         print(f"render time {time.time() - t0:.1f}s  avg_path "
               f"{float(aux['avg_path_length']):.2f}")
         _save(img, args.out)
@@ -241,26 +256,36 @@ def main(argv=None) -> int:
         return 0
 
     # neural-q online training
-    from rlrpt_tpu.deep.neural_q import render_frame_neural_q
     if opt_state is None:
         from rlrpt_tpu.deep.neural_q import default_optimizer
         opt_state = default_optimizer(dl).init(params)
+    if args.impl == "wavefront":
+        from rlrpt_tpu.deep.deep_wavefront import (
+            render_frame_neural_q_wavefront as _nq_frame)
+        nq_kwargs = dict(pix_mux=args.pix_mux, interpret=interp)
+    else:
+        from rlrpt_tpu.deep.neural_q import render_frame_neural_q as _nq_frame
+        nq_kwargs = {}
     eps = dl.epsilon_start
     stats = StatsLogger(args.stats) if args.stats else None
     for fr in range(args.frames):
-        img, params, opt_state, eps, aux = render_frame_neural_q(
+        img, params, opt_state, eps, aux = _nq_frame(
             jax.random.fold_in(key, fr), scene, camera, params, opt_state,
-            eps, cfg, rl, dl)
+            eps, cfg, rl, dl, **nq_kwargs)
         loss = float(np.asarray(aux["loss"]).sum())
         print(f"frame {fr}: loss {loss:.1f}  avg_path "
-              f"{float(np.asarray(aux['avg_path_length'])[-1]):.2f}  epsilon "
-              f"{float(eps):.3f}")
+              f"{float(np.asarray(aux['avg_path_length']).reshape(-1)[-1]):.2f}"
+              f"  epsilon {float(eps):.3f}")
         if stats:
-            for i in range(len(np.asarray(aux['loss']))):
-                stats.append(float(np.asarray(aux["avg_path_length"])[i]),
-                             float(np.asarray(aux["loss"])[i]),
-                             int(np.asarray(
-                                 aux["zero_contribution_light_paths"])[i]))
+            # Lockstep reports per-spp arrays (one stats line each, the
+            # reference protocol); the wavefront reports frame totals
+            # (one line per frame — use tools.nn_training_stats for
+            # per-spp lines at wavefront speed).
+            a = np.asarray(aux["avg_path_length"]).reshape(-1)
+            l = np.asarray(aux["loss"]).reshape(-1)
+            z = np.asarray(aux["zero_contribution_light_paths"]).reshape(-1)
+            for i in range(len(l)):
+                stats.append(float(a[i]), float(l[i]), int(z[i]))
         if args.save_model:
             save_dynet_model(params, args.save_model)
     _save(img, args.out)
