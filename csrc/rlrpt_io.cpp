@@ -45,6 +45,11 @@ bool parse_obj(const char* path, ObjData& out) {
   while (p < end) {
     const char* line_end = static_cast<const char*>(memchr(p, '\n', end - p));
     if (!line_end) line_end = end;
+    // Tolerate leading whitespace: the bundled cube.obj's first line is
+    // " v 0.0 ..." (the reference's token splitter drops empty tokens,
+    // object_importer.cu split_string, so it parses it too).
+    while (p < line_end && (*p == ' ' || *p == '\t' || *p == '\r')) p++;
+    if (p >= line_end) { p = line_end + 1; continue; }
     if (p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) {
       char* q = const_cast<char*>(p) + 1;
       float x = std::strtof(q, &q);
