@@ -167,7 +167,8 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
                                train: bool = False, pix_mux: int = 1,
                                interpret: bool = False,
                                pix_lo=0, n_pix_local: int | None = None,
-                               mlp_dtype: str = "f32", axis_name=None):
+                               mlp_dtype: str = "f32", axis_name=None,
+                               train_batching: str = "minibatch"):
     """One regenerative deep frame (no jit wrapper; see the renderers).
 
     Returns (image_sum, params, opt_state, path_sum, zclp, iters,
@@ -186,6 +187,13 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
     from the exact same (rounded) Q distribution the sector is drawn
     from, so Q precision shifts which directions are favoured, never the
     estimator's expectation; cos/pdf weights stay f32.
+
+    train_batching "minibatch" (default) replays the reference's
+    sequential per-4096-ray Adam scan each iteration
+    (neural_q_pathtracer.cu:421-513); "fused" takes ONE Adam step per
+    iteration over all pending transitions — fewer, larger steps (same
+    TD targets), cutting the sequential chain that dominates training
+    iterations.
     """
     n_pix = cfg.n_pixels
     n_local = n_pix if n_pix_local is None else n_pix_local
@@ -196,6 +204,9 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
     g48, m2 = pack_scene_mxu(scene)
     ns = scene.n_surfaces
     optimizer = default_optimizer(dl) if train else None
+    if train_batching not in ("minibatch", "fused"):
+        raise ValueError(f"train_batching must be 'minibatch' or 'fused', "
+                         f"got {train_batching!r}")
     eps0 = jnp.asarray(epsilon, jnp.float32)
     cos_tbl = hs.sector_cos_thetas(gr)
     if mlp_dtype not in ("f32", "bf16"):
@@ -289,9 +300,14 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
                     hit_light, lum * dl.light_reward_scale,
                     jnp.where(hit_surface, lum * max_q, 0.0))
                 pending = act & (action >= 0)
+                if train_batching == "fused":
+                    import dataclasses as _dc
+                    dl_t = _dc.replace(dl, batch_size=wp)  # one chunk
+                else:
+                    dl_t = dl
                 params_new, opt_new, loss = train_on_batches(
                     s.params, s.opt_state, optimizer, scene, prev_loc,
-                    jnp.maximum(action, 0), jax.lax.stop_gradient(td), dl,
+                    jnp.maximum(action, 0), jax.lax.stop_gradient(td), dl_t,
                     weights=pending.astype(jnp.float32),
                     axis_name=axis_name)
                 loss_sum = s.loss_sum + loss
@@ -466,14 +482,15 @@ def render_frame_pretrained_wavefront(key, scene: Scene, camera: Camera,
 
 
 @partial(jax.jit, static_argnames=("cfg", "rl", "dl", "pix_mux",
-                                   "interpret"))
+                                   "interpret", "train_batching"))
 def render_frame_neural_q_wavefront(key, scene: Scene, camera: Camera,
                                     params: DQNetworkParams, opt_state,
                                     epsilon, cfg: RenderConfig,
                                     rl: RadianceVolumeConfig,
                                     dl: DeepLearningConfig,
                                     pix_mux: int = 8,
-                                    interpret: bool = False):
+                                    interpret: bool = False,
+                                    train_batching: str = "minibatch"):
     """Fast online-training render; returns (image, params, opt_state,
     epsilon, aux).
 
@@ -486,7 +503,7 @@ def render_frame_neural_q_wavefront(key, scene: Scene, camera: Camera,
         trace_frame_deep_wavefront(
             key, scene, camera, params, cfg, rl, dl, opt_state=opt_state,
             epsilon=epsilon, train=True, pix_mux=pix_mux,
-            interpret=interpret)
+            interpret=interpret, train_batching=train_batching)
     total = cfg.n_pixels * cfg.samples_per_pixel
     img = (image_sum / cfg.samples_per_pixel).reshape(
         cfg.height, cfg.width, 3)

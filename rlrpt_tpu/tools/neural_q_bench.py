@@ -70,6 +70,10 @@ def main(argv=None):
     ap.add_argument("--train-on-position", action="store_true")
     ap.add_argument("--mlp-dtype", choices=("f32", "bf16"), default="f32",
                     help="pretrained-wavefront forward precision")
+    ap.add_argument("--train-batching", choices=("minibatch", "fused"),
+                    default="minibatch",
+                    help="wavefront trainer: the reference's sequential "
+                         "4096-ray Adam scan, or ONE step per iteration")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-pretrained", action="store_true")
     args = ap.parse_args(argv)
@@ -102,7 +106,8 @@ def main(argv=None):
             def run_train(k):
                 img, p, o, e, aux = render_frame_neural_q_wavefront(
                     k, scene, cam, box["params"], box["opt"], box["eps"],
-                    cfg, rl, dl, pix_mux=args.pix_mux, interpret=interp)
+                    cfg, rl, dl, pix_mux=args.pix_mux, interpret=interp,
+                    train_batching=args.train_batching)
                 box.update(params=p, opt=o, eps=e)
                 box["loss"] = aux["loss"]
                 return jnp.sum(img), aux["avg_path_length"]
@@ -122,6 +127,7 @@ def main(argv=None):
         out = {"which": f"neural_q_train_{args.impl}",
                "sec_per_frame": round(dt, 4), "spp": args.spp,
                "size": args.size, "pix_mux": args.pix_mux,
+               "train_batching": args.train_batching,
                "final_loss": float(jnp.sum(jnp.asarray(box["loss"])))}
         if args.impl == "wavefront":
             # path_sum counts every traced segment, so this is the true

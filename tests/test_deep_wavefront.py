@@ -140,3 +140,17 @@ def test_pretrained_bf16_forward_matches_statistically():
     noise = float(jnp.mean(jnp.abs(img32 - img32b)))
     err = float(jnp.mean(jnp.abs(img16 - img32)))
     assert err < 3.0 * noise + 1e-3, (err, noise)
+
+
+def test_neural_q_wavefront_fused_training():
+    scene, params, opt_state = _setup()
+    img, params2, _, _, aux = render_frame_neural_q_wavefront(
+        jax.random.PRNGKey(50), scene, _CAM, params, opt_state, 0.5,
+        _CFG, _RL, _DL, interpret=True, train_batching="fused")
+    assert bool(jnp.all(jnp.isfinite(img)))
+    assert np.isfinite(float(aux["loss"]))
+    moved = any(
+        float(jnp.max(jnp.abs(a - b))) > 0.0
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params2)))
+    assert moved
