@@ -64,7 +64,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                    sarsa_spp, nq_frames, nq_spp, area_per_sample, interpret,
                    key, out_prefix=None, skip_nq=False, skip_sarsa=False,
                    nq_impl="wavefront", russian_roulette=False,
-                   sarsa_search="table"):
+                   sarsa_search="table", nq_train_batching="minibatch"):
     """Returns a list of result-row dicts for one scene.
 
     `russian_roulette=True` enables RR on every NON-GT render (method and
@@ -183,9 +183,13 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
         # NEURAL_Q_BENCH; both implement the same estimator/learning rule,
         # tests/test_deep_wavefront.py).
         if nq_impl == "wavefront":
+            import functools
             from rlrpt_tpu.deep.deep_wavefront import (
-                render_frame_neural_q_wavefront as nq_train_fn,
+                render_frame_neural_q_wavefront,
                 render_frame_pretrained_wavefront as nq_inf_fn)
+            nq_train_fn = functools.partial(
+                render_frame_neural_q_wavefront,
+                train_batching=nq_train_batching)
             # Whole frames fit the tunnel's safe dispatch window at
             # wavefront speed; chunk at <=16 spp anyway for open scenes.
             nq_chunk, inf_chunk = 16, 64
@@ -226,7 +230,8 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                      "mape": round(_mape(img_n, gt), 4),
                      "train_frames": nq_frames, "train_spp": nq_spp,
                      "train_sec": round(nq_train_dt, 2),
-                     "render_sec": round(nq_dt, 2), "impl": nq_impl})
+                     "render_sec": round(nq_dt, 2), "impl": nq_impl,
+                     "train_batching": nq_train_batching})
         if out_prefix:
             write_png(f"{out_prefix}_neural_q.png", np.asarray(img_n))
 
@@ -260,6 +265,8 @@ def main(argv=None):
                     help="RR on all non-GT renders (BASELINE config #3)")
     ap.add_argument("--sarsa-search", choices=("table", "grid"),
                     default="table")
+    ap.add_argument("--nq-train-batching", choices=("minibatch", "fused"),
+                    default="minibatch")
     ap.add_argument("--append", action="store_true",
                     help="merge rows into an existing --out file, "
                          "replacing rows with the same (scene, method)")
@@ -286,7 +293,8 @@ def main(argv=None):
         out_prefix=args.out_prefix, skip_nq=args.skip_nq,
         skip_sarsa=args.skip_sarsa, nq_impl=args.nq_impl,
         russian_roulette=args.russian_roulette,
-        sarsa_search=args.sarsa_search)
+        sarsa_search=args.sarsa_search,
+        nq_train_batching=args.nq_train_batching)
     for r in rows:
         r["scene"] = args.scene
     result = {"protocol": "thesis MAPE (4_critical_evaluation.tex:47-69)",
