@@ -302,6 +302,10 @@ def main(argv=None):
     if args.append and os.path.exists(args.out):
         with open(args.out) as f:
             old = json.load(f)
+        # Preserve any top-level keys a previous run added (e.g. "notes").
+        for k, v in old.items():
+            if k not in ("rows", "protocol", "backend"):
+                result[k] = v
         new_keys = {(r["scene"], r["method"]) for r in rows}
         kept = [r for r in old.get("rows", [])
                 if (r.get("scene"), r.get("method")) not in new_keys]
