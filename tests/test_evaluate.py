@@ -21,3 +21,23 @@ def test_evaluate_scene_smoke():
     for r in rows:
         assert np.isfinite(r["mape"]) and r["mape"] >= 0.0
         assert r["spp"] == 8 and r["gt_spp"] == 16
+
+
+def test_append_preserves_extra_top_level_keys(tmp_path, monkeypatch):
+    import json
+    from rlrpt_tpu.tools import evaluate
+    out = tmp_path / "EVAL.json"
+    out.write_text(json.dumps({
+        "protocol": "x", "backend": "cpu", "notes": {"k": "kept"},
+        "rows": [{"scene": "cornell", "method": "default", "mape": 1.0},
+                 {"scene": "other", "method": "sarsa", "mape": 2.0}]}))
+    evaluate.main(["--scene", "cornell", "--size", "16", "--gt-spp", "4",
+                   "--spp", "2", "--bounces", "3", "--skip-sarsa",
+                   "--skip-nq", "--append", "--out", str(out)])
+    d = json.loads(out.read_text())
+    assert d["notes"] == {"k": "kept"}
+    scenes = {(r["scene"], r["method"]) for r in d["rows"]}
+    assert ("other", "sarsa") in scenes          # untouched row kept
+    # cornell/default replaced by the fresh run (not duplicated)
+    assert sum(1 for r in d["rows"]
+               if (r["scene"], r["method"]) == ("cornell", "default")) == 1
