@@ -76,6 +76,12 @@ class RadianceVolumeConfig:
     area_per_sample: float = 0.001
     max_dist: float = 0.003
     distribution_threshold: float = 0.0
+    # Defensive importance sampling: blend `mix * uniform` into the
+    # cos-weighted sector distribution at CDF rebuild (radiance.volumes.
+    # rebuild_cdf).  0.0 == the reference's pure Q*cos CDF; > 0 bounds
+    # importance weights on scenes with grazing-visibility emitters
+    # (EVAL.json simple_room diagnosis).
+    defensive_mix: float = 0.0
     max_volumes: Optional[int] = None  # cap (pad/truncate) for static shapes
 
     @property

@@ -203,7 +203,8 @@ def render_frame_sarsa(key, scene: Scene, camera: Camera,
         (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n,), jnp.int32),
          jnp.int32(0), vols))
 
-    vols = rebuild_cdf(vols, rl.distribution_threshold)
+    vols = rebuild_cdf(vols, rl.distribution_threshold,
+                       rl.defensive_mix)
     img = (acc / cfg.samples_per_pixel).reshape(cfg.height, cfg.width, 3)
     aux = {
         "avg_path_length": jnp.mean(path_acc.astype(jnp.float32))

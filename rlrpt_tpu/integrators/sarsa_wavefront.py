@@ -521,7 +521,8 @@ def render_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
             interpret=interpret, hit_mode=hit_mode, sampler=sampler,
             frame_mode=frame_mode, drain_factor=drain_factor,
             min_drain_w=min_drain_w, cdf_dtype=cdf_dtype)
-    vols = rebuild_cdf(vols, rl.distribution_threshold)
+    vols = rebuild_cdf(vols, rl.distribution_threshold,
+                       rl.defensive_mix)
     total = cfg.n_pixels * cfg.samples_per_pixel
     img = (image_sum / cfg.samples_per_pixel).reshape(
         cfg.height, cfg.width, 3)

@@ -144,7 +144,8 @@ def render_frame_sarsa_dp(key, scene: Scene, camera: Camera,
             0, cfg.samples_per_pixel, sample_body,
             (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n,), jnp.int32),
              jnp.int32(0), vols))
-        vols = rebuild_cdf(vols, rl.distribution_threshold)
+        vols = rebuild_cdf(vols, rl.distribution_threshold,
+                           rl.defensive_mix)
         img = (acc / cfg.samples_per_pixel).reshape(cfg.height, cfg.width, 3)
         aux = {"avg_path_length": jnp.mean(path_acc.astype(jnp.float32))
                / cfg.samples_per_pixel,
@@ -199,7 +200,8 @@ def render_frame_sarsa_wavefront_dp(key, scene: Scene, camera: Camera,
         img_sum, vols_out, path_sum, zclp, iters, td_count = traced(
             key, vols, grid)
         img_sum = img_sum[:n_pix]
-        vols_out = rebuild_cdf(vols_out, rl.distribution_threshold)
+        vols_out = rebuild_cdf(vols_out, rl.distribution_threshold,
+                               rl.defensive_mix)
         total = n_pix * cfg.samples_per_pixel
         img = (img_sum / cfg.samples_per_pixel).reshape(
             cfg.height, cfg.width, 3)

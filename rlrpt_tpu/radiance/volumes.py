@@ -122,19 +122,33 @@ def irradiance_estimates(vols: RadianceVolumes) -> jnp.ndarray:
 
 
 def rebuild_cdf(vols: RadianceVolumes,
-                distribution_threshold: float = 0.0) -> RadianceVolumes:
+                distribution_threshold: float = 0.0,
+                defensive_mix: float = 0.0) -> RadianceVolumes:
     """Per-frame CDF rebuild from Q*cos weights
     (ref: radiance_volume.cu:149-188 update_radiance_distribution, launched
     once per frame by reinforcement_path_tracing.cu:6-13).
 
     The reference's per-volume sequential cumsum becomes one vectorised
     (V, S) cumsum.
+
+    defensive_mix > 0 blends `mix * uniform` into the normalised
+    distribution (defensive importance sampling): the reference's pure
+    cos-weighted CDF assigns near-zero probability to grazing sectors,
+    which under-samples grazing-visibility emitters catastrophically
+    (EVAL.json simple_room diagnosis — its flush wall panel is visible
+    from the brightest surface only at grazing incidence).  The mixture
+    keeps every sector's pdf >= mix/S * RHO/GRID_RHO, bounding the
+    importance weights; pdf consistency is automatic (the sampler reads
+    the same CDF).  0.0 reproduces the reference exactly.
     """
     cos = hs.sector_cos_thetas(vols.grid_resolution)
     w = vols.q * cos[None, :]
     w = jnp.maximum(w, distribution_threshold)
     total = 1e-10 + jnp.sum(w, axis=-1, keepdims=True)
-    cdf = jnp.cumsum(w / total, axis=-1)
+    p = w / total
+    if defensive_mix:
+        p = (1.0 - defensive_mix) * p + defensive_mix / vols.n_sectors
+    cdf = jnp.cumsum(p, axis=-1)
     return dataclasses.replace(vols, cdf=cdf)
 
 

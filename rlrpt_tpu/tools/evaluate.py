@@ -64,7 +64,8 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                    sarsa_spp, nq_frames, nq_spp, area_per_sample, interpret,
                    key, out_prefix=None, skip_nq=False, skip_sarsa=False,
                    nq_impl="wavefront", russian_roulette=False,
-                   sarsa_search="table", nq_train_batching="minibatch"):
+                   sarsa_search="table", nq_train_batching="minibatch",
+                   sarsa_defensive_mix=0.0):
     """Returns a list of result-row dicts for one scene.
 
     `russian_roulette=True` enables RR on every NON-GT render (method and
@@ -73,7 +74,8 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
     from rlrpt_tpu.ops.megakernel import render_default_mega
 
     rows = []
-    rl = RadianceVolumeConfig(area_per_sample=area_per_sample)
+    rl = RadianceVolumeConfig(area_per_sample=area_per_sample,
+                              defensive_mix=sarsa_defensive_mix)
     mk_gt_cfg = lambda s: RenderConfig(  # noqa: E731
         width=size, height=size, samples_per_pixel=s, max_ray_bounces=bounces)
     mk_cfg = lambda s: RenderConfig(  # noqa: E731
@@ -169,6 +171,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                      "train_frames": sarsa_frames, "train_spp": sarsa_spp,
                      "n_volumes": int(vols.n_volumes),
                      "search": sarsa_search,
+                     "defensive_mix": sarsa_defensive_mix,
                      "train_sec": round(s_train_dt, 2),
                      "render_sec": round(s_dt, 2)})
         if out_prefix:
@@ -267,6 +270,9 @@ def main(argv=None):
                     default="table")
     ap.add_argument("--nq-train-batching", choices=("minibatch", "fused"),
                     default="minibatch")
+    ap.add_argument("--sarsa-defensive-mix", type=float, default=0.0,
+                    help="blend mix*uniform into the sector CDF "
+                         "(defensive importance sampling; 0 = reference)")
     ap.add_argument("--append", action="store_true",
                     help="merge rows into an existing --out file, "
                          "replacing rows with the same (scene, method)")
@@ -294,7 +300,8 @@ def main(argv=None):
         skip_sarsa=args.skip_sarsa, nq_impl=args.nq_impl,
         russian_roulette=args.russian_roulette,
         sarsa_search=args.sarsa_search,
-        nq_train_batching=args.nq_train_batching)
+        nq_train_batching=args.nq_train_batching,
+        sarsa_defensive_mix=args.sarsa_defensive_mix)
     for r in rows:
         r["scene"] = args.scene
     result = {"protocol": "thesis MAPE (4_critical_evaluation.tex:47-69)",
