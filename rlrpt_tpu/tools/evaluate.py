@@ -65,7 +65,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                    key, out_prefix=None, skip_nq=False, skip_sarsa=False,
                    nq_impl="wavefront", russian_roulette=False,
                    sarsa_search="table", nq_train_batching="minibatch",
-                   sarsa_defensive_mix=0.0):
+                   sarsa_defensive_mix=0.0, sarsa_hit_mode="mxu"):
     """Returns a list of result-row dicts for one scene.
 
     `russian_roulette=True` enables RR on every NON-GT render (method and
@@ -149,7 +149,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                 _, vols, _ = render_frame_sarsa_wavefront(
                     jax.random.fold_in(key, 100 + f * len(tr_chunks) + c),
                     scene, cam, vols, grid, mk_cfg(cs), rl, pix_mux=4,
-                    interpret=interpret)
+                    interpret=interpret, hit_mode=sarsa_hit_mode)
                 host_fence(vols.q)
         s_train_dt = time.perf_counter() - t0
         # Chunked test render (watchdog, see GT note); learning continues
@@ -160,7 +160,8 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
             for c, cs in enumerate(_split_chunks(spp, 16)):
                 img, v, _ = render_frame_sarsa_wavefront(
                     jax.random.fold_in(key, 2000 + c), scene, cam, v, grid,
-                    mk_cfg(cs), rl, pix_mux=4, interpret=interpret)
+                    mk_cfg(cs), rl, pix_mux=4, interpret=interpret,
+                    hit_mode=sarsa_hit_mode)
                 acc = img * cs if acc is None else acc + img * cs
                 host_fence(acc)
             return acc / spp
@@ -172,6 +173,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                      "n_volumes": int(vols.n_volumes),
                      "search": sarsa_search,
                      "defensive_mix": sarsa_defensive_mix,
+                     "hit_mode": sarsa_hit_mode,
                      "train_sec": round(s_train_dt, 2),
                      "render_sec": round(s_dt, 2)})
         if out_prefix:
@@ -273,6 +275,11 @@ def main(argv=None):
     ap.add_argument("--sarsa-defensive-mix", type=float, default=0.0,
                     help="blend mix*uniform into the sector CDF "
                          "(defensive importance sampling; 0 = reference)")
+    ap.add_argument("--sarsa-hit-mode", choices=("mxu", "f32"),
+                    default="mxu",
+                    help="f32 = exact Cramer hit kernel (needed on scenes "
+                         "with sub-1e-3 near-coplanar geometry, e.g. "
+                         "simple_room's flush light panel)")
     ap.add_argument("--append", action="store_true",
                     help="merge rows into an existing --out file, "
                          "replacing rows with the same (scene, method)")
@@ -301,7 +308,8 @@ def main(argv=None):
         russian_roulette=args.russian_roulette,
         sarsa_search=args.sarsa_search,
         nq_train_batching=args.nq_train_batching,
-        sarsa_defensive_mix=args.sarsa_defensive_mix)
+        sarsa_defensive_mix=args.sarsa_defensive_mix,
+        sarsa_hit_mode=args.sarsa_hit_mode)
     for r in rows:
         r["scene"] = args.scene
     result = {"protocol": "thesis MAPE (4_critical_evaluation.tex:47-69)",
