@@ -269,9 +269,11 @@ def render_frame_pretrained_wavefront_dp(key, scene: Scene, camera: Camera,
     """Sharded regenerative pretrained render (frozen net).
 
     Each device owns a contiguous pixel range and its own wavefront; the
-    net replicates, the loop condition is uniform, and there are zero
-    per-iteration collectives (inference needs none).  Returns
-    (image, aux) like deep_wavefront.render_frame_pretrained_wavefront.
+    net replicates, and the only per-iteration collective is the 1-int
+    psum that keeps the while-loop condition uniform across devices
+    (inference needs no data collectives; training adds per-minibatch
+    grad psums on top).  Returns (image, aux) like
+    deep_wavefront.render_frame_pretrained_wavefront.
     """
     from rlrpt_tpu.deep.deep_wavefront import trace_frame_deep_wavefront
 

@@ -186,8 +186,10 @@ def build_volume_class_table(vols: RadianceVolumes, scene,
     """Host-side (numpy + cKDTree) construction of the answer table.
 
     reach (how far a class answer may be from the cell) defaults to 1.5x
-    the bucket grid's cell — the same neighbourhood the VolumeGrid search
-    covers, itself modelled on the reference's KD pruning reach.
+    the bucket grid's cell plus half this table's (possibly coarsened)
+    cell diagonal — the VolumeGrid neighbourhood, itself modelled on the
+    reference's KD pruning reach, widened so a budget-coarsened cell's
+    centre can always reach volumes inside its own cell.
 
     The table is (cells, 16) int32 = 64 B/cell, and cells scale with the
     scene extent cubed; when the default cell size would exceed
@@ -211,7 +213,6 @@ def build_volume_class_table(vols: RadianceVolumes, scene,
 
     coarse = max(REFERENCE_REACH, 3.0 * _median_nn_distance(pos))
     cell = float(cell_size) if cell_size is not None else coarse / 4.0
-    reach = 1.5 * coarse
 
     extent = (pos.max(axis=0) + margin) - (pos.min(axis=0) - margin)
 
@@ -226,6 +227,15 @@ def build_volume_class_table(vols: RadianceVolumes, scene,
             cell *= (_cells_at(cell) * row_bytes / mem_budget_bytes) ** (1 / 3)
             while _cells_at(cell) * row_bytes > mem_budget_bytes:
                 cell *= 1.05
+
+    # Query reach must scale with the (possibly budget-coarsened) cell:
+    # with the fixed 1.5*coarse reach, a cell coarsened past ~reach/0.87
+    # puts every cell CENTRE farther than `reach` from all volumes, so the
+    # distance-bounded k-NN queries below return nothing and every hit in
+    # those cells silently resolves to fallback volume 0 (ADVICE r4).
+    # 0.87*cell ~ half the cell diagonal guarantees a centre reaches any
+    # volume inside its own cell.
+    reach = 1.5 * coarse + 0.87 * cell
 
     # Normal classes over the union of triangle and volume normals
     # (volumes inherit their triangle's normal, so byte-exact grouping is

@@ -190,6 +190,13 @@ def sample_from_cdf_rows(key, rows: jnp.ndarray, frames: jnp.ndarray,
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, s), 1)
     hi = jnp.sum(jnp.where(iota == sector[:, None], rows, 0.0), axis=-1)
     lo = jnp.sum(jnp.where(iota == sector[:, None] - 1, rows, 0.0), axis=-1)
+    # The LAST sector absorbs all r >= cdf[S-2], so its true sampling
+    # probability is 1 - lo, not cdf[S-1] - lo: with f32 rows the gap
+    # 1 - cdf[S-1] is ~1e-7 cumsum noise, but bf16 rows round near-1.0
+    # values on a 2^-9 grid, where hi != 1 would bias the pdf by up to
+    # ~0.4% absolute (ADVICE r4).  hi = 1 keeps pdf == true probability
+    # for every cdf dtype.
+    hi = jnp.where(sector == s - 1, 1.0, hi)
     pdf = RHO * ((hi - lo) / grid_rho)
     d = hs.sample_sector_direction(k2, sector, frames, grid_resolution)
     return d, sector, pdf
@@ -224,7 +231,7 @@ def sample_from_cdf_bsearch(key, vols: RadianceVolumes, vol_idx: jnp.ndarray,
         width >>= 1
     sector = jnp.minimum(lo, s - 1).astype(jnp.int32)
 
-    hi = flat[base + sector]
+    hi = jnp.where(sector == s - 1, 1.0, flat[base + sector])
     prev = jnp.where(sector > 0, flat[base + jnp.maximum(sector - 1, 0)], 0.0)
     pdf = RHO * ((hi - prev) / grid_rho)
     frames = vols.frame[vol_idx]
@@ -274,7 +281,8 @@ def sample_from_cdf_hier(key, cdf_coarse: jnp.ndarray, cdf_fine: jnp.ndarray,
     rows_c = cdf_coarse[vol_idx]                             # (N, G)
     u1 = jax.random.uniform(k1, (n, 1), dtype=jnp.float32)
     grp = jnp.minimum(jnp.sum(rows_c < u1, axis=-1), g - 1).astype(jnp.int32)
-    hi_c = jnp.take_along_axis(rows_c, grp[:, None], axis=-1)[:, 0]
+    hi_c = jnp.where(grp == g - 1, 1.0,
+                     jnp.take_along_axis(rows_c, grp[:, None], axis=-1)[:, 0])
     lo_c = jnp.where(grp > 0,
                      jnp.take_along_axis(rows_c,
                                          jnp.maximum(grp - 1, 0)[:, None],
@@ -284,7 +292,8 @@ def sample_from_cdf_hier(key, cdf_coarse: jnp.ndarray, cdf_fine: jnp.ndarray,
     rows_f = cdf_fine[vol_idx * g + grp]                     # (N, G)
     u2 = jax.random.uniform(k2, (n, 1), dtype=jnp.float32)
     j = jnp.minimum(jnp.sum(rows_f < u2, axis=-1), g - 1).astype(jnp.int32)
-    hi_f = jnp.take_along_axis(rows_f, j[:, None], axis=-1)[:, 0]
+    hi_f = jnp.where(j == g - 1, 1.0,
+                     jnp.take_along_axis(rows_f, j[:, None], axis=-1)[:, 0])
     lo_f = jnp.where(j > 0,
                      jnp.take_along_axis(rows_f,
                                          jnp.maximum(j - 1, 0)[:, None],
