@@ -99,6 +99,9 @@ class _State(NamedTuple):
     zclp: jnp.ndarray
     iters: jnp.ndarray
     loss_sum: jnp.ndarray
+    td_sq_sum: jnp.ndarray    # sum of squared TD targets (loss scale)
+    light_hits: jnp.ndarray   # int32: samples that terminated on a light
+    light_path_sum: jnp.ndarray  # summed path length of those samples
     params: Any
     opt_state: Any
 
@@ -239,7 +242,8 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
         action=jnp.full((w0,), -1, jnp.int32),
         image=jnp.zeros((n_local, 3), jnp.float32),
         path_sum=jnp.float32(0.0), zclp=jnp.int32(0), iters=jnp.int32(0),
-        loss_sum=jnp.float32(0.0),
+        loss_sum=jnp.float32(0.0), td_sq_sum=jnp.float32(0.0),
+        light_hits=jnp.int32(0), light_path_sum=jnp.float32(0.0),
         params=params, opt_state=opt_state)
 
     def make_body(wp: int):
@@ -311,9 +315,19 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
                     weights=pending.astype(jnp.float32),
                     axis_name=axis_name)
                 loss_sum = s.loss_sum + loss
+                # Target scale for the relative-loss diagnostic: absolute
+                # squared-error loss grows ~ Q^2 as the net's magnitude
+                # converges toward the x200 light reward
+                # (neural_q_pathtracer.cu:697) even while RELATIVE error
+                # falls; loss_sum / td_sq_sum is the scale-free curve.
+                td_sq = jnp.sum(jnp.where(pending, td * td, 0.0))
+                if axis_name is not None:
+                    td_sq = jax.lax.psum(td_sq, axis_name)
+                td_sq_sum = s.td_sq_sum + td_sq
             else:
                 params_new, opt_new, loss_sum = (s.params, s.opt_state,
                                                  s.loss_sum)
+                td_sq_sum = s.td_sq_sum
 
             # ---- terminal contributions ----------------------------------
             contrib = (jnp.where(missed[:, None],
@@ -372,6 +386,14 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
             zero = finished & (jnp.mean(sample_rad, axis=-1)
                                < cfg.throughput_threshold)
             zclp = s.zclp + jnp.sum(zero.astype(jnp.int32))
+            # "Guidance finds lights sooner" is only observable on the
+            # light-terminated subset: cornell is OPEN at the camera side,
+            # so better guidance CONVERTS short escaping paths into longer
+            # light-finding ones and the all-paths average rises — the
+            # mechanically correct direction for this scene/accounting.
+            light_hits = s.light_hits + jnp.sum(hit_light.astype(jnp.int32))
+            light_path_sum = s.light_path_sum + jnp.sum(
+                jnp.where(hit_light, fin, 0.0))
 
             # ---- bank finished samples into the slot's per-k row ---------
             ksel = (jax.lax.broadcasted_iota(jnp.int32, (wp, pix_mux), 1)
@@ -407,6 +429,8 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
                           slot_rad=slot_rad, prev_loc=prev_loc,
                           action=action, image=s.image, path_sum=path_sum,
                           zclp=zclp, iters=s.iters + 1, loss_sum=loss_sum,
+                          td_sq_sum=td_sq_sum, light_hits=light_hits,
+                          light_path_sum=light_path_sum,
                           params=params_new, opt_state=opt_new)
 
         return body
@@ -449,7 +473,8 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
 
     image = _flush(state.image, state.pixel, state.kmx, state.slot_rad)
     return (image, state.params, state.opt_state, state.path_sum,
-            state.zclp, state.iters, state.loss_sum)
+            state.zclp, state.iters, state.loss_sum,
+            (state.td_sq_sum, state.light_hits, state.light_path_sum))
 
 
 @partial(jax.jit, static_argnames=("cfg", "rl", "dl", "pix_mux",
@@ -469,15 +494,20 @@ def render_frame_pretrained_wavefront(key, scene: Scene, camera: Camera,
     mlp_dtype='bf16' runs the Q forward on the MXU's native precision
     (unbiased; see trace_frame_deep_wavefront).
     """
-    image_sum, _, _, path_sum, zclp, iters, _ = trace_frame_deep_wavefront(
-        key, scene, camera, params, cfg, rl, dl, train=False,
-        pix_mux=pix_mux, interpret=interpret, mlp_dtype=mlp_dtype)
+    image_sum, _, _, path_sum, zclp, iters, _, extra = \
+        trace_frame_deep_wavefront(
+            key, scene, camera, params, cfg, rl, dl, train=False,
+            pix_mux=pix_mux, interpret=interpret, mlp_dtype=mlp_dtype)
     total = cfg.n_pixels * cfg.samples_per_pixel
     img = (image_sum / cfg.samples_per_pixel).reshape(
         cfg.height, cfg.width, 3)
+    _, light_hits, light_path_sum = extra
     aux = {"avg_path_length": path_sum / total,
            "zero_contribution_light_paths": zclp,
-           "wavefront_iterations": iters}
+           "wavefront_iterations": iters,
+           "light_hit_fraction": light_hits / total,
+           "avg_light_path_length": light_path_sum
+           / jnp.maximum(light_hits, 1).astype(jnp.float32)}
     return img, aux
 
 
@@ -499,7 +529,7 @@ def render_frame_neural_q_wavefront(key, scene: Scene, camera: Camera,
     regenerative frame interleaves samples, so aux carries the frame
     totals: summed loss, average path length, zero-contribution count).
     """
-    image_sum, params, opt_state, path_sum, zclp, iters, loss_sum = \
+    image_sum, params, opt_state, path_sum, zclp, iters, loss_sum, extra = \
         trace_frame_deep_wavefront(
             key, scene, camera, params, cfg, rl, dl, opt_state=opt_state,
             epsilon=epsilon, train=True, pix_mux=pix_mux,
@@ -510,8 +540,16 @@ def render_frame_neural_q_wavefront(key, scene: Scene, camera: Camera,
     eps_next = jnp.maximum(
         jnp.asarray(epsilon, jnp.float32)
         - dl.epsilon_decay * cfg.samples_per_pixel, dl.epsilon_min)
+    td_sq_sum, light_hits, light_path_sum = extra
     aux = {"avg_path_length": path_sum / total,
            "loss": loss_sum,
+           # Scale-free training error: absolute loss grows with the Q
+           # magnitude (x200 light reward), this does not.
+           "loss_rel": loss_sum / jnp.maximum(td_sq_sum, 1e-12),
+           "td_sq": td_sq_sum,
            "zero_contribution_light_paths": zclp,
-           "wavefront_iterations": iters}
+           "wavefront_iterations": iters,
+           "light_hit_fraction": light_hits / total,
+           "avg_light_path_length": light_path_sum
+           / jnp.maximum(light_hits, 1).astype(jnp.float32)}
     return img, params, opt_state, eps_next, aux

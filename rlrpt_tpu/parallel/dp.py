@@ -288,7 +288,7 @@ def render_frame_pretrained_wavefront_dp(key, scene: Scene, camera: Camera,
         def shard_fn(key, params_r):
             i = jax.lax.axis_index(RAY_AXIS)
             key = jax.random.fold_in(key, i)
-            img, _, _, path_sum, zclp, iters, _ = \
+            img, _, _, path_sum, zclp, iters, _, _ = \
                 trace_frame_deep_wavefront(
                     key, scene, camera, params_r, cfg, rl, dl, train=False,
                     pix_mux=pix_mux, interpret=interpret,
@@ -345,8 +345,8 @@ def render_frame_neural_q_wavefront_dp(key, scene: Scene, camera: Camera,
         def shard_fn(key, params_r, opt_r):
             i = jax.lax.axis_index(RAY_AXIS)
             key = jax.random.fold_in(key, i)
-            img, params_out, opt_out, path_sum, zclp, iters, loss = \
-                trace_frame_deep_wavefront(
+            (img, params_out, opt_out, path_sum, zclp, iters, loss,
+             _) = trace_frame_deep_wavefront(
                     key, scene, camera, params_r, cfg, rl, dl_local,
                     opt_state=opt_r, epsilon=epsilon, train=True,
                     pix_mux=pix_mux, interpret=interpret,

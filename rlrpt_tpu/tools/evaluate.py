@@ -65,7 +65,9 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                    key, out_prefix=None, skip_nq=False, skip_sarsa=False,
                    nq_impl="wavefront", russian_roulette=False,
                    sarsa_search="table", nq_train_batching="minibatch",
-                   sarsa_defensive_mix=0.0, sarsa_hit_mode="mxu"):
+                   sarsa_defensive_mix=0.0, sarsa_hit_mode="mxu",
+                   nq_eps_start=0.05, guided=True, guided_uv_bins=4,
+                   guided_sector_grid=11):
     """Returns a list of result-row dicts for one scene.
 
     `russian_roulette=True` enables RR on every NON-GT render (method and
@@ -179,6 +181,73 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
         if out_prefix:
             write_png(f"{out_prefix}_sarsa.png", np.asarray(img_s))
 
+        # ---- guided megakernel: frozen trained map, in-kernel sampling --
+        # The equal-WALL-CLOCK comparison lives here: bake the trained map
+        # (radiance.bake), render the test budget with the guided
+        # megakernel (ops.guided_mega — importance sampling at megakernel
+        # throughput), then give the DEFAULT megakernel the guided row's
+        # exact wall-clock and score both.  This is the reference's
+        # "+20% overhead" claim surface (4_critical_evaluation.tex:272)
+        # measured end-to-end.
+        from rlrpt_tpu.ops.megakernel import T_CHUNK, mt_tables
+        t_pad = mt_tables(scene)[0].shape[0] // 4
+        if guided and t_pad <= T_CHUNK:
+            from rlrpt_tpu.ops.guided_mega import render_guided_mega
+            from rlrpt_tpu.radiance.bake import bake_tri_bin_cdf
+            g_prec = "highest" if sarsa_hit_mode == "f32" else "high3"
+            t0 = time.perf_counter()
+            table = bake_tri_bin_cdf(scene, vols, rl, t_pad,
+                                     uv_bins=guided_uv_bins,
+                                     sector_grid=guided_sector_grid)
+            bake_dt = time.perf_counter() - t0
+
+            def render_guided_test():
+                acc = None
+                for c, cs in enumerate(_split_chunks(spp, 32)):
+                    img, _ = render_guided_mega(
+                        jax.random.fold_in(key, 4000 + c), scene, cam,
+                        table, mk_cfg(cs), r_tile=1024, pix_mux=32,
+                        interpret=interpret, precision=g_prec)
+                    acc = img * cs if acc is None else acc + img * cs
+                    host_fence(acc)
+                return acc / spp
+
+            img_g, g_dt = clock(render_guided_test)
+            rows.append({"method": "sarsa_guided", "spp": spp,
+                         "mape": round(_mape(img_g, gt), 4),
+                         "train_frames": sarsa_frames,
+                         "train_spp": sarsa_spp,
+                         "train_sec": round(s_train_dt, 2),
+                         "bake_sec": round(bake_dt, 2),
+                         "uv_bins": guided_uv_bins,
+                         "sector_grid": guided_sector_grid,
+                         "render_sec": round(g_dt, 2),
+                         "render_overhead_vs_default":
+                             round(g_dt / max(d_dt, 1e-9), 3)})
+            if out_prefix:
+                write_png(f"{out_prefix}_sarsa_guided.png", np.asarray(img_g))
+
+            # Equal-wall-clock default: same budget as the guided render.
+            eq_spp = max(1, int(round(g_dt / max(d_dt / spp, 1e-9))))
+
+            def render_default_eq():
+                acc = None
+                for c, cs in enumerate(_split_chunks(eq_spp, 128)):
+                    img, _ = render_default_mega(
+                        jax.random.fold_in(key, 5000 + c), scene, cam,
+                        mk_cfg(cs), r_tile=1024, pix_mux=8,
+                        interpret=interpret)
+                    acc = img * cs if acc is None else acc + img * cs
+                    host_fence(acc)
+                return acc / eq_spp
+
+            img_e, e_dt = clock(render_default_eq)
+            rows.append({"method": "default_eqtime", "spp": eq_spp,
+                         "mape": round(_mape(img_e, gt), 4),
+                         "render_sec": round(e_dt, 2),
+                         "matched_to": "sarsa_guided",
+                         "time_budget_sec": round(g_dt, 2)})
+
     # ---- neural-Q: online-train N frames, then inference render ----------
     if not skip_nq:
         from rlrpt_tpu.deep.neural_q import init_neural_q
@@ -208,7 +277,11 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
         dl = DeepLearningConfig()
         params, opt_state = init_neural_q(jax.random.fold_in(key, 7), scene,
                                           dl, rl.grid_resolution)
-        eps = 1.0
+        # The reference trains at CONSTANT eps = EPSILON_START = EPSILON_MIN
+        # = 0.05 (deep_learning_settings.h:5-7) — importance sampling from
+        # the Q net is its exploration.  r4 used eps=1.0 (an anneal the
+        # reference never runs).
+        eps = nq_eps_start
         t0 = time.perf_counter()
         nq_chunks = _split_chunks(nq_spp, nq_chunk)
         for f in range(nq_frames):
@@ -236,6 +309,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                      "train_frames": nq_frames, "train_spp": nq_spp,
                      "train_sec": round(nq_train_dt, 2),
                      "render_sec": round(nq_dt, 2), "impl": nq_impl,
+                     "eps_start": nq_eps_start,
                      "train_batching": nq_train_batching})
         if out_prefix:
             write_png(f"{out_prefix}_neural_q.png", np.asarray(img_n))
@@ -275,6 +349,16 @@ def main(argv=None):
     ap.add_argument("--sarsa-defensive-mix", type=float, default=0.0,
                     help="blend mix*uniform into the sector CDF "
                          "(defensive importance sampling; 0 = reference)")
+    ap.add_argument("--skip-guided", action="store_true",
+                    help="skip the guided-megakernel + equal-wall-clock "
+                         "rows (they run whenever sarsa runs and the "
+                         "scene fits one triangle chunk)")
+    ap.add_argument("--guided-uv-bins", type=int, default=4)
+    ap.add_argument("--guided-sector-grid", type=int, default=11)
+    ap.add_argument("--nq-eps-start", type=float, default=0.05,
+                    help="neural-Q initial epsilon (the reference runs "
+                         "CONSTANT 0.05, deep_learning_settings.h:5-7; "
+                         "r4 rows used 1.0)")
     ap.add_argument("--sarsa-hit-mode", choices=("mxu", "f32"),
                     default="mxu",
                     help="f32 = exact Cramer hit kernel (needed on scenes "
@@ -309,7 +393,10 @@ def main(argv=None):
         sarsa_search=args.sarsa_search,
         nq_train_batching=args.nq_train_batching,
         sarsa_defensive_mix=args.sarsa_defensive_mix,
-        sarsa_hit_mode=args.sarsa_hit_mode)
+        sarsa_hit_mode=args.sarsa_hit_mode,
+        nq_eps_start=args.nq_eps_start, guided=not args.skip_guided,
+        guided_uv_bins=args.guided_uv_bins,
+        guided_sector_grid=args.guided_sector_grid)
     for r in rows:
         r["scene"] = args.scene
     result = {"protocol": "thesis MAPE (4_critical_evaluation.tex:47-69)",

@@ -48,6 +48,13 @@ def main(argv=None):
                     default="wavefront")
     ap.add_argument("--pix-mux", type=int, default=8)
     ap.add_argument("--out", default="nn_training_stats.txt")
+    ap.add_argument("--eps-start", type=float, default=None,
+                    help="initial epsilon; default = the reference's "
+                         "EPSILON_START 0.05 (deep_learning_settings.h:5 — "
+                         "with EPSILON_MIN also 0.05 the reference runs "
+                         "CONSTANT eps 0.05; the r4 artifact used 1.0, an "
+                         "anneal the reference never runs, which conflated "
+                         "the explore->greedy shift with learning progress)")
     ap.add_argument("--plot", action="store_true",
                     help="also render the three training-curve PNGs")
     ap.add_argument("--json", default=None,
@@ -68,9 +75,10 @@ def main(argv=None):
     params, opt_state = init_neural_q(jax.random.fold_in(key, 7), scene, dl,
                                       rl.grid_resolution)
     log = StatsLogger(args.out, reset=True)
-    eps = 1.0
+    eps = dl.epsilon_start if args.eps_start is None else args.eps_start
     t0 = time.perf_counter()
     rows = []
+    extras = []  # per-sample [loss_rel, light_hit_fraction, avg_light_len]
 
     if args.impl == "wavefront":
         from rlrpt_tpu.deep.deep_wavefront import (
@@ -94,6 +102,9 @@ def main(argv=None):
                        int(aux["zero_contribution_light_paths"]))
                 log.append(*row)
                 rows.append(row)
+                extras.append((float(aux["loss_rel"]),
+                               float(aux["light_hit_fraction"]),
+                               float(aux["avg_light_path_length"])))
     else:
         from rlrpt_tpu.deep.neural_q import render_frame_neural_q
         cfg = RenderConfig(width=args.size, height=args.size,
@@ -122,6 +133,8 @@ def main(argv=None):
                      "(neural_q_pathtracer.cu:577-583)"),
         "impl": args.impl, "scene": args.scene, "size": args.size,
         "frames": args.frames, "spp": args.spp,
+        "eps_start": eps if not rows else (
+            dl.epsilon_start if args.eps_start is None else args.eps_start),
         "train_sec": round(train_sec, 2),
         "first": rows[0], "last": rows[-1],
         "loss_first_frame": sum(r[1] for r in rows[:args.spp]),
@@ -129,6 +142,23 @@ def main(argv=None):
         "zclp_first": rows[0][2], "zclp_last": rows[-1][2],
         "files": outputs,
     }
+    if extras:
+        # Scale-free diagnostics (wavefront impl): absolute loss tracks the
+        # growing Q^2 magnitude (x200 light reward); loss_rel = loss/sum(td^2)
+        # is the convergence curve, and the light-terminated subset is where
+        # "guidance finds lights sooner" is observable (the all-paths average
+        # RISES on open scenes as guidance converts escapes into light hits).
+        summary["loss_rel_first_frame"] = (
+            sum(e[0] for e in extras[:args.spp]) / args.spp)
+        summary["loss_rel_last_frame"] = (
+            sum(e[0] for e in extras[-args.spp:]) / args.spp)
+        summary["light_hit_fraction_first"] = extras[0][1]
+        summary["light_hit_fraction_last"] = extras[-1][1]
+        summary["avg_light_path_first"] = extras[0][2]
+        summary["avg_light_path_last"] = extras[-1][2]
+        summary["per_sample_extras"] = [
+            {"loss_rel": round(e[0], 6), "light_hit_fraction": round(e[1], 6),
+             "avg_light_path_length": round(e[2], 3)} for e in extras]
     print(json.dumps(summary))
     if args.json:
         with open(args.json, "w") as f:

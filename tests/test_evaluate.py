@@ -17,10 +17,15 @@ def test_evaluate_scene_smoke():
         nq_frames=1, nq_spp=1, area_per_sample=0.05, interpret=True,
         key=jax.random.PRNGKey(0))
     methods = [r["method"] for r in rows]
-    assert methods == ["default", "sarsa", "neural_q"]
+    assert methods == ["default", "sarsa", "sarsa_guided", "default_eqtime",
+                       "neural_q"]
     for r in rows:
         assert np.isfinite(r["mape"]) and r["mape"] >= 0.0
-        assert r["spp"] == 8 and r["gt_spp"] == 16
+        assert r["gt_spp"] == 16
+        if r["method"] not in ("default_eqtime",):
+            assert r["spp"] == 8
+    guided = next(r for r in rows if r["method"] == "sarsa_guided")
+    assert guided["uv_bins"] == 4 and guided["sector_grid"] == 11
 
 
 def test_append_preserves_extra_top_level_keys(tmp_path, monkeypatch):
