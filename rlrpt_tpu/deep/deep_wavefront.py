@@ -181,9 +181,8 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
     Under shard_map (`axis_name` set, pix_lo/n_pix_local carving this
     device's pixel range) the loop condition is made uniform across
     devices, training gradients are psum'd per minibatch (identical
-    replicated Adam update), and the drain cascade is disabled (its trip
-    counts would diverge per device) — same scheme as
-    integrators.sarsa_wavefront.
+    replicated Adam update), and the drain cascade runs in lockstep
+    (phase exits psum'd) — same scheme as integrators.sarsa_wavefront.
 
     mlp_dtype "bf16" (inference only) runs the per-iteration Q forward in
     bfloat16 — UNBIASED by construction: the sampler's pdf is computed
@@ -444,10 +443,14 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
         data = jnp.where(valid[..., None], slot_rad, 0.0).reshape(-1, 3)
         return image.at[flat].add(data, mode="drop")
 
+    # Same uniform drain cascade as integrators.sarsa_wavefront: every
+    # device stays in a phase until ALL devices' live sets fit the next
+    # width (one psum'd flag per iteration), so compaction + slicing
+    # happen in lockstep and the straggler tail runs narrow on every
+    # device.
     widths = [w0]
-    if axis_name is None:
-        while widths[-1] // _DRAIN_FACTOR >= _MIN_DRAIN_W:
-            widths.append(widths[-1] // _DRAIN_FACTOR)
+    while widths[-1] // _DRAIN_FACTOR >= _MIN_DRAIN_W:
+        widths.append(widths[-1] // _DRAIN_FACTOR)
 
     for i, wp in enumerate(widths):
         last = i == len(widths) - 1
@@ -455,12 +458,10 @@ def trace_frame_deep_wavefront(key, scene: Scene, camera: Camera,
 
         def cond(s: _State, w_next=w_next):
             live = jnp.sum(s.active.astype(jnp.int32))
-            flag = live > 0
+            stay = live > 0 if w_next is None else live > w_next
             if axis_name is not None:
-                flag = jax.lax.psum(flag.astype(jnp.int32), axis_name) > 0
-            if w_next is not None:
-                flag = flag & (live > w_next)
-            return flag
+                stay = jax.lax.psum(stay.astype(jnp.int32), axis_name) > 0
+            return stay
 
         state = jax.lax.while_loop(cond, make_body(wp), state)
         if not last:

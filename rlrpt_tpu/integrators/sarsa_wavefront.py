@@ -153,7 +153,8 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
     (`axis_name` set) per-iteration Q contributions are psum'd so each
     device applies the identical update to its replicated Q table, the
     loop condition is made uniform across devices, and the drain cascade
-    is disabled (its trip counts would diverge per device).
+    runs in lockstep (phase exits are psum'd, so every device compacts
+    and narrows together).
 
     pix_lo / n_pix_local carve out the pixel range [pix_lo, pix_lo +
     n_pix_local) for this shard (parallel.dp.render_frame_sarsa_
@@ -455,11 +456,15 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
     # Phase widths: w0, w0/4, w0/16, ... (floor _MIN_DRAIN_W).  Dead slots
     # never revive (regeneration happens in the iteration a sample dies),
     # so once live <= next width the sliced prefix carries ALL remaining
-    # work.  Disabled under shard_map: per-device trip counts would diverge.
+    # work.  Under shard_map the phase-exit decision is made UNIFORM by
+    # psum'ing the per-device "still wider than the next phase" flag: all
+    # devices stay in a phase until EVERY device's live set fits the next
+    # width, then all compact+slice together (per-device trip counts can
+    # never diverge; a device that drained early just runs its regen-
+    # refilled lanes at the wider width until the stragglers catch up).
     widths = [w0]
-    if axis_name is None:
-        while widths[-1] // drain_factor >= min_drain_w:
-            widths.append(widths[-1] // drain_factor)
+    while widths[-1] // drain_factor >= min_drain_w:
+        widths.append(widths[-1] // drain_factor)
 
     phase_iters = []
     prev_iters = jnp.int32(0)
@@ -469,12 +474,10 @@ def trace_frame_sarsa_wavefront(key, scene: Scene, camera: Camera,
 
         def cond(s: _State, w_next=w_next):
             live = jnp.sum(s.active.astype(jnp.int32))
-            flag = live > 0
+            stay = live > 0 if w_next is None else live > w_next
             if axis_name is not None:
-                flag = jax.lax.psum(flag.astype(jnp.int32), axis_name) > 0
-            if w_next is not None:
-                flag = flag & (live > w_next)
-            return flag
+                stay = jax.lax.psum(stay.astype(jnp.int32), axis_name) > 0
+            return stay
 
         state = jax.lax.while_loop(cond, make_body(wp), state)
         phase_iters.append(state.iters - prev_iters)

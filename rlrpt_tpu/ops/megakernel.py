@@ -161,6 +161,30 @@ def mt_tables(scene: Scene):
     return g, mtbl
 
 
+def chunk_aabbs(scene: Scene, t_pad: int, t_chunk: int) -> jnp.ndarray:
+    """Per-triangle-chunk AABBs for the multi-chunk pre-reject.
+
+    Returns (n_chunks, 8) f32 rows [lo(3), hi(3), 0, 0] over each chunk's
+    REAL triangles only; a chunk of pure padding gets an empty box
+    (lo = +INF, hi = -INF) that no ray can hit.  Used as a scalar-prefetch
+    (SMEM) input so the kernel reads per-chunk bounds as scalars.
+    jnp throughout (scene arrays may be traced under jit).
+    """
+    t = scene.v0.shape[0]
+    n_chunks = t_pad // t_chunk
+    v = jnp.stack([jnp.asarray(scene.v0, jnp.float32),
+                   jnp.asarray(scene.v1, jnp.float32),
+                   jnp.asarray(scene.v2, jnp.float32)], axis=1)  # (T, 3, 3)
+    vmin = jnp.pad(v.min(axis=1), ((0, t_pad - t), (0, 0)),
+                   constant_values=INF)
+    vmax = jnp.pad(v.max(axis=1), ((0, t_pad - t), (0, 0)),
+                   constant_values=-INF)
+    lo = vmin.reshape(n_chunks, t_chunk, 3).min(axis=1)
+    hi = vmax.reshape(n_chunks, t_chunk, 3).max(axis=1)
+    return jnp.concatenate([lo, hi, jnp.zeros((n_chunks, 2))],
+                           axis=1).astype(jnp.float32)
+
+
 def _i32(v: int) -> jnp.ndarray:
     """Python uint32 literal as a wrapping int32 constant."""
     v &= 0xFFFFFFFF
@@ -194,11 +218,7 @@ def _uniform(seed, pix, it, stream: int):
         * jnp.float32(1.0 / 16777216.0)
 
 
-def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref,
-                 out_ref,
-                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                 tr_ref, tg_ref, tb_ref, ps_ref,
-                 bn_ref, rm_ref, ac_ref, px_ref, km_ref, sa_ref, *,
+def _mega_kernel(*refs,
                  t_pad: int, n_chunks: int, t_chunk: int, r_tile: int,
                  width: int, height: int, focal: float, n_pix: int,
                  spp: int, max_bounces: int, env: float, eps: float,
@@ -206,7 +226,19 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref,
                  precision=jax.lax.Precision.HIGHEST, unroll: int = 2,
                  compensated: bool = False,
                  russian_roulette: bool = False, rr_start_bounce: int = 3,
-                 rr_min_prob: float = 0.05):
+                 rr_min_prob: float = 0.05, cull: bool = False):
+    if cull:
+        (seed_ref, aabb_ref, cam_ref, g_ref, mtbl_ref, out_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         tr_ref, tg_ref, tb_ref, ps_ref,
+         bn_ref, rm_ref, ac_ref, px_ref, km_ref, sa_ref,
+         bt_ref, mat_ref) = refs
+    else:
+        (seed_ref, cam_ref, g_ref, mtbl_ref, out_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         tr_ref, tg_ref, tb_ref, ps_ref,
+         bn_ref, rm_ref, ac_ref, px_ref, km_ref, sa_ref) = refs
+        aabb_ref = bt_ref = mat_ref = None
     tile = pl.program_id(0)
     seed = seed_ref[0]
 
@@ -352,17 +384,66 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref,
         # sweep, ray.cu:17-36).  Holding every chunk's (t_chunk, r) tt live
         # would scale VMEM with scene size; the old two-pass recompute
         # doubled the big matmuls instead — this does neither.
-        best_t = jnp.full((1, r), INF, jnp.float32)
-        mat = jnp.zeros((16, r), jnp.float32)
+        if not cull:
+            best_t = jnp.full((1, r), INF, jnp.float32)
+            mat = jnp.zeros((16, r), jnp.float32)
+            for c in range(n_chunks):
+                tt = chunk_tt(c)
+                cmin = jnp.min(tt, axis=0, keepdims=True)  # (1, r)
+                onehot = ((tt == cmin) & (cmin < INF)).astype(jnp.float32)
+                mat_c = mat_dot(onehot, c)
+                better = cmin < best_t                      # (1, r)
+                mat = jnp.where(better, mat_c, mat)
+                best_t = jnp.minimum(best_t, cmin)
+            return best_t, mat
+
+        # Culled sweep (the AABB pre-reject): before each chunk's MT
+        # matmul, a VPU slab test asks whether ANY live lane's ray can
+        # (a) enter the chunk's bounding box at all and (b) do so closer
+        # than its current best hit.  If not, @pl.when skips the chunk's
+        # matmul + material fetch entirely.  The test is CONSERVATIVE
+        # (false positives only sweep a chunk needlessly; zero-d axes are
+        # clamped to a tiny direction so no NaN can cull a real hit), so
+        # the image is BITWISE identical to the uncull sweep
+        # (tests/test_megakernel.py).  On open OBJ scenes ~all samples
+        # miss everything (SCENE_BENCH bunny avg path 1.004), so most
+        # (tile-iteration x chunk) pairs skip — the brute-force sweep's
+        # answer to BVH traversal without a data-dependent tree walk.
+        actv = ac_ref[:, :] > 0
+        tiny = jnp.float32(1e-30)
+        sdx = jnp.where(jnp.abs(dx) < tiny, tiny, dx)
+        sdy = jnp.where(jnp.abs(dy) < tiny, tiny, dy)
+        sdz = jnp.where(jnp.abs(dz) < tiny, tiny, dz)
+        ivx, ivy, ivz = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
+        bt_ref[:, :] = jnp.full((1, r), INF, jnp.float32)
+        mat_ref[:, :] = jnp.zeros((16, r), jnp.float32)
         for c in range(n_chunks):
-            tt = chunk_tt(c)
-            cmin = jnp.min(tt, axis=0, keepdims=True)      # (1, r)
-            onehot = ((tt == cmin) & (cmin < INF)).astype(jnp.float32)
-            mat_c = mat_dot(onehot, c)
-            better = cmin < best_t                          # (1, r)
-            mat = jnp.where(better, mat_c, mat)
-            best_t = jnp.minimum(best_t, cmin)
-        return best_t, mat
+            lox, loy, loz = aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2]
+            hix, hiy, hiz = aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5]
+            t1x, t2x = (lox - ox) * ivx, (hix - ox) * ivx
+            t1y, t2y = (loy - oy) * ivy, (hiy - oy) * ivy
+            t1z, t2z = (loz - oz) * ivz, (hiz - oz) * ivz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                           jnp.minimum(t1y, t2y)),
+                               jnp.minimum(t1z, t2z))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                          jnp.maximum(t1y, t2y)),
+                              jnp.maximum(t1z, t2z))
+            could = (actv & (far >= jnp.maximum(near, 0.0))
+                     & (near < bt_ref[:, :]))
+            any_could = jnp.sum(could.astype(jnp.int32)) > 0
+
+            @pl.when(any_could)
+            def _sweep(c=c):
+                tt = chunk_tt(c)
+                cmin = jnp.min(tt, axis=0, keepdims=True)
+                onehot = ((tt == cmin) & (cmin < INF)).astype(jnp.float32)
+                mat_c = mat_dot(onehot, c)
+                better = cmin < bt_ref[:, :]
+                mat_ref[:, :] = jnp.where(better, mat_c, mat_ref[:, :])
+                bt_ref[:, :] = jnp.minimum(bt_ref[:, :], cmin)
+
+        return bt_ref[:, :], mat_ref[:, :]
 
     # ---- initial state: every slot starts its k=0 pixel's first sample --
     # Ray state lives in per-variable (1, r) VMEM scratch refs, not
@@ -546,11 +627,12 @@ def _mega_kernel(seed_ref, cam_ref, g_ref, mtbl_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "r_tile", "pix_mux", "interpret",
-                                    "precision", "unroll"))
+                                    "precision", "unroll", "cull"))
 def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
                         r_tile: int = R_TILE, pix_mux: int = 8,
                         interpret: bool = False,
-                        precision: str = "high3", unroll: int = 2):
+                        precision: str = "high3", unroll: int = 2,
+                        cull: bool | None = None):
     """Render a frame with the megakernel; returns (image (H,W,3), aux).
 
     Same estimator as integrators.default_tracer.render_default
@@ -560,6 +642,10 @@ def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
     and regenerates into its next pixel when a sample dies — this amortises
     the long-path tail (a tile runs until its SLOWEST slot drains, and with
     K pixels per slot the per-slot workload variance shrinks ~K-fold).
+
+    cull: AABB pre-reject for multi-chunk scenes (default: on whenever the
+    scene spans more than one triangle chunk; bitwise-identical images —
+    the slab test is conservative).  Forced off for single-chunk scenes.
     """
     if unroll < 1:
         raise ValueError(f"unroll must be >= 1, got {unroll}")
@@ -571,6 +657,9 @@ def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
     t_pad = g.shape[0] // 4
     t_chunk = min(t_pad, T_CHUNK)
     n_chunks = t_pad // t_chunk
+    if cull is None:
+        cull = n_chunks > 1
+    cull = bool(cull) and n_chunks > 1
 
     compensated = precision == "high3"
     if compensated:
@@ -604,26 +693,34 @@ def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
         precision=_PRECISIONS[precision], unroll=unroll,
         compensated=compensated,
         russian_roulette=cfg.russian_roulette,
-        rr_start_bounce=cfg.rr_start_bounce, rr_min_prob=cfg.rr_min_prob)
+        rr_start_bounce=cfg.rr_start_bounce, rr_min_prob=cfg.rr_min_prob,
+        cull=cull)
 
+    n_pf = 2 if cull else 1          # (seed[, aabb]) scalar-prefetch args
+    scratch = ([pltpu.VMEM((1, r_tile), jnp.float32) for _ in range(10)]
+               + [pltpu.VMEM((1, r_tile), jnp.int32) for _ in range(5)]
+               + [pltpu.VMEM((3 * pix_mux, r_tile), jnp.float32)])
+    if cull:
+        scratch += [pltpu.VMEM((1, r_tile), jnp.float32),
+                    pltpu.VMEM((16, r_tile), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=n_pf,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i, s: (0, 0),
+            pl.BlockSpec((1, 8), lambda i, *s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(g.shape, lambda i, s: (0, 0),
+            pl.BlockSpec(g.shape, lambda i, *s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(mtbl.shape, lambda i, s: (0, 0),
+            pl.BlockSpec(mtbl.shape, lambda i, *s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((out_rows, r_tile), lambda i, s: (0, i),
+        out_specs=pl.BlockSpec((out_rows, r_tile), lambda i, *s: (0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=(
-            [pltpu.VMEM((1, r_tile), jnp.float32) for _ in range(10)]
-            + [pltpu.VMEM((1, r_tile), jnp.int32) for _ in range(5)]
-            + [pltpu.VMEM((3 * pix_mux, r_tile), jnp.float32)]),
+        scratch_shapes=scratch,
     )
+    operands = (seed,)
+    if cull:
+        operands = (seed, chunk_aabbs(scene, t_pad, t_chunk))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((out_rows, n_slots), jnp.float32),
@@ -634,7 +731,7 @@ def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
                 t_pad * 140 + 300),
             transcendentals=int(n_pix) * cfg.samples_per_pixel * 10 * 4,
             bytes_accessed=(out_rows * n_slots + 65 * t_pad) * 4),
-    )(seed, cam, g, mtbl)
+    )(*operands, cam, g, mtbl)
 
     k = pix_mux
     # pixel p = slot + k*n_slots lives at out[c*k + p//n_slots, p%n_slots]

@@ -39,6 +39,9 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--r-tile", type=int, default=1024)
     ap.add_argument("--pix-mux", type=int, default=32)
+    ap.add_argument("--cull", choices=("on", "off", "both"), default="both",
+                    help="AABB chunk pre-reject (multi-chunk scenes only; "
+                         "'both' records an on/off row pair per scene)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
 
@@ -56,36 +59,50 @@ def main(argv=None):
             p = presets.get(name)
             scene, cam = p.load(), Camera.create(p.camera_position)
         n_tris = int(scene.v0.shape[0])
+        from rlrpt_tpu.ops.megakernel import T_CHUNK, _t_pad
+        multi = _t_pad(n_tris) > T_CHUNK
+        modes = {"on": [True], "off": [False],
+                 "both": [False, True] if multi else [False]}[args.cull]
 
-        def run(k):
-            img, aux = render_default_mega(
-                k, scene, cam, cfg, r_tile=args.r_tile,
-                pix_mux=args.pix_mux, interpret=interp)
-            return jnp.sum(img), aux["avg_path_length"]
+        for cull in modes:
+            def run(k, cull=cull):
+                img, aux = render_default_mega(
+                    k, scene, cam, cfg, r_tile=args.r_tile,
+                    pix_mux=args.pix_mux, interpret=interp, cull=cull)
+                return jnp.sum(img), aux["avg_path_length"]
 
-        acc = jnp.float32(0.0)
-        for i in range(3):
-            probe, _ = run(jax.random.fold_in(key, 900 + i))
-            acc = acc + probe
-        float(acc)  # fence (block_until_ready unreliable over axon)
-        t0 = time.perf_counter()
-        acc = jnp.float32(0.0)
-        lens = []
-        for i in range(args.frames):
-            probe, plen = run(jax.random.fold_in(key, i))
-            lens.append(plen)
-            acc = acc + probe
-        float(acc)
-        dt = (time.perf_counter() - t0) / args.frames
-        plen = sum(float(x) for x in lens) / len(lens)
-        rays = plen * cfg.n_pixels * cfg.samples_per_pixel
-        row = {"scene": name, "triangles": n_tris,
-               "sec_per_frame": round(dt, 4),
-               "avg_path_length": round(plen, 3),
-               "rays_per_sec": round(rays / dt, 1),
-               "ray_tri_tests_per_sec": round(rays * n_tris / dt, 1)}
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+            acc = jnp.float32(0.0)
+            for i in range(3):
+                probe, _ = run(jax.random.fold_in(key, 900 + i))
+                acc = acc + probe
+            float(acc)  # fence (block_until_ready unreliable over axon)
+            t0 = time.perf_counter()
+            acc = jnp.float32(0.0)
+            lens = []
+            for i in range(args.frames):
+                probe, plen = run(jax.random.fold_in(key, i))
+                lens.append(plen)
+                acc = acc + probe
+            float(acc)
+            dt = (time.perf_counter() - t0) / args.frames
+            plen = sum(float(x) for x in lens) / len(lens)
+            rays = plen * cfg.n_pixels * cfg.samples_per_pixel
+            # MFU of the issued compensated-bf16 sweep: 384 bf16 flops per
+            # (ray, triangle) test ([Gh|Gh|Gl]@[fh;fl;fh], 2*48*4 per test
+            # ignoring M/K tile padding) against a v5e's 197 TFLOP/s bf16
+            # peak.  With culling the ISSUED tests shrink — mfu then
+            # measures useful-work density, and rays/s is the headline.
+            tests_s = rays * n_tris / dt
+            row = {"scene": name, "triangles": n_tris,
+                   "cull": bool(cull) and multi,
+                   "sec_per_frame": round(dt, 4),
+                   "avg_path_length": round(plen, 3),
+                   "rays_per_sec": round(rays / dt, 1),
+                   "ray_tri_tests_per_sec": round(tests_s, 1),
+                   "mfu_pct_uncull_equiv": round(
+                       tests_s * 384 / 197e12 * 100, 2)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
 
     if args.json:
         with open(args.json, "w") as f:

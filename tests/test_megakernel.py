@@ -86,3 +86,28 @@ def test_multichunk_matches_single_chunk(monkeypatch):
                                           interpret=True)
     np.testing.assert_allclose(np.asarray(img_multi), np.asarray(img_one),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_aabb_cull_bitwise_identical(monkeypatch):
+    """The AABB pre-reject must be CONSERVATIVE: with chunks forced small
+    (cornell -> multiple chunks), cull=True and cull=False must produce
+    bitwise-identical images (a skipped chunk is one no live lane could
+    have hit closer than its current best)."""
+    import rlrpt_tpu.ops.megakernel as mk
+
+    monkeypatch.setattr(mk, "T_CHUNK", 16)   # 38 tris -> 3 chunks of 16
+    jax.clear_caches()
+    scene = cornell_box().to_device()
+    cam = Camera.create([0.0, 0.0, -3.0])
+    cfg = config.RenderConfig(width=32, height=32, samples_per_pixel=4,
+                              max_ray_bounces=6)
+    img_on, aux_on = mk.render_default_mega(
+        jax.random.PRNGKey(9), scene, cam, cfg, r_tile=256, pix_mux=2,
+        interpret=True, cull=True)
+    img_off, aux_off = mk.render_default_mega(
+        jax.random.PRNGKey(9), scene, cam, cfg, r_tile=256, pix_mux=2,
+        interpret=True, cull=False)
+    jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(img_on), np.asarray(img_off))
+    assert int(aux_on["wavefront_iterations"]) == \
+        int(aux_off["wavefront_iterations"])
