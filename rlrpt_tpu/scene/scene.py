@@ -167,3 +167,46 @@ def load_vertices_from_file(path: str) -> np.ndarray:
 def _fmt(x: float) -> str:
     # Match C++ default ostream float formatting (6 significant digits).
     return f"{float(x):.6g}"
+
+
+def morton_sort_surfaces(scene: Scene) -> Scene:
+    """Reorder SURFACE triangles along a Morton (Z-order) curve of their
+    centroids; lights keep their trailing positions.
+
+    The megakernel sweeps triangles in fixed chunks; its AABB pre-reject
+    (ops.megakernel chunk culling) only fires when a chunk's triangles
+    are spatially TIGHT.  OBJ files interleave spatially distant faces,
+    inflating every chunk's bounding box — a Morton sort makes chunks
+    compact without any runtime structure (the estimator is unchanged;
+    only exact closest-hit TIE-BREAK order differs, which the reference's
+    first-tested-wins sweep leaves arbitrary anyway, ray.cu:17-36).
+    """
+    ns = scene.n_surfaces
+    cen = (np.asarray(scene.v0[:ns], np.float64)
+           + np.asarray(scene.v1[:ns], np.float64)
+           + np.asarray(scene.v2[:ns], np.float64)) / 3.0
+    lo = cen.min(axis=0)
+    ext = np.maximum(cen.max(axis=0) - lo, 1e-12)
+    qi = np.clip(((cen - lo) / ext * 1023.0).astype(np.uint64), 0, 1023)
+
+    def _spread(x):
+        x = (x | (x << 16)) & np.uint64(0x0000FF0000FF)
+        x = (x | (x << 8)) & np.uint64(0x00F00F00F00F)
+        x = (x | (x << 4)) & np.uint64(0x0C30C30C30C3)
+        x = (x | (x << 2)) & np.uint64(0x249249249249)
+        return x
+
+    code = (_spread(qi[:, 0]) | (_spread(qi[:, 1]) << np.uint64(1))
+            | (_spread(qi[:, 2]) << np.uint64(2)))
+    order = np.argsort(code, kind="stable")
+    perm = np.concatenate(
+        [order, np.arange(ns, scene.v0.shape[0])]).astype(np.int64)
+
+    def take(a):
+        arr = np.asarray(a)[perm]
+        return jnp.asarray(arr) if isinstance(a, jnp.ndarray) else arr
+
+    return Scene(v0=take(scene.v0), v1=take(scene.v1), v2=take(scene.v2),
+                 normal=take(scene.normal), diffuse_c=take(scene.diffuse_c),
+                 emission=take(scene.emission),
+                 luminance=take(scene.luminance), n_surfaces=ns)
