@@ -248,6 +248,81 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                          "matched_to": "sarsa_guided",
                          "time_budget_sec": round(g_dt, 2)})
 
+            # ---- fully in-kernel pipeline: binned-SARSA training mega +
+            # guided inference mega (ops.guided_mega_train) — the same
+            # training BUDGET as the sarsa row but the whole learning
+            # loop runs on the MXU, so train_sec collapses and the
+            # equal-time-INCLUDING-training comparison becomes winnable.
+            from rlrpt_tpu.ops.guided_mega_train import (init_bin_q,
+                                                         rebuild_bin_cdf,
+                                                         render_sarsa_mega_train)
+            gr = guided_sector_grid
+            rl_k = dataclasses.replace(rl, grid_resolution=gr)
+            q_b, vis_b = init_bin_q(t_pad, guided_uv_bins, gr,
+                                    rl_k.initial_radiance)
+            tr_chunks_k = _split_chunks(sarsa_spp, 8)
+            t0 = time.perf_counter()
+            tb_k = rebuild_bin_cdf(q_b, gr, guided_uv_bins, t_pad,
+                                   rl.distribution_threshold,
+                                   sarsa_defensive_mix)
+            for f in range(sarsa_frames):
+                for c, cs in enumerate(tr_chunks_k):
+                    _, q_b, vis_b, _aux = render_sarsa_mega_train(
+                        jax.random.fold_in(key, 600 + f * 8 + c), scene,
+                        cam, tb_k, q_b, vis_b, mk_cfg(cs),
+                        rl_k.radiance_threshold, interpret=interpret,
+                        precision=g_prec)
+                    tb_k = rebuild_bin_cdf(q_b, gr, guided_uv_bins, t_pad,
+                                           rl.distribution_threshold,
+                                           sarsa_defensive_mix)
+                    host_fence(q_b)
+            k_train_dt = time.perf_counter() - t0
+
+            def render_mega_test():
+                acc = None
+                for c, cs in enumerate(_split_chunks(spp, 32)):
+                    img, _ = render_guided_mega(
+                        jax.random.fold_in(key, 4500 + c), scene, cam,
+                        tb_k, mk_cfg(cs), r_tile=1024, pix_mux=32,
+                        interpret=interpret, precision=g_prec)
+                    acc = img * cs if acc is None else acc + img * cs
+                    host_fence(acc)
+                return acc / spp
+
+            img_k, k_dt = clock(render_mega_test)
+            rows.append({"method": "sarsa_mega", "spp": spp,
+                         "mape": round(_mape(img_k, gt), 4),
+                         "train_frames": sarsa_frames,
+                         "train_spp": sarsa_spp,
+                         "train_sec": round(k_train_dt, 2),
+                         "uv_bins": guided_uv_bins, "sector_grid": gr,
+                         "render_sec": round(k_dt, 2),
+                         "total_sec": round(k_train_dt + k_dt, 2)})
+            if out_prefix:
+                write_png(f"{out_prefix}_sarsa_mega.png", np.asarray(img_k))
+
+            # Equal TOTAL time (training included) default render.
+            eq2_spp = max(1, int(round((k_train_dt + k_dt)
+                                       / max(d_dt / spp, 1e-9))))
+
+            def render_default_eq2():
+                acc = None
+                for c, cs in enumerate(_split_chunks(eq2_spp, 128)):
+                    img, _ = render_default_mega(
+                        jax.random.fold_in(key, 5500 + c), scene, cam,
+                        mk_cfg(cs), r_tile=1024, pix_mux=8,
+                        interpret=interpret)
+                    acc = img * cs if acc is None else acc + img * cs
+                    host_fence(acc)
+                return acc / eq2_spp
+
+            img_e2, e2_dt = clock(render_default_eq2)
+            rows.append({"method": "default_eqtotal", "spp": eq2_spp,
+                         "mape": round(_mape(img_e2, gt), 4),
+                         "render_sec": round(e2_dt, 2),
+                         "matched_to": "sarsa_mega (train + render)",
+                         "time_budget_sec": round(k_train_dt + k_dt, 2)})
+
     # ---- neural-Q: online-train N frames, then inference render ----------
     if not skip_nq:
         from rlrpt_tpu.deep.neural_q import init_neural_q

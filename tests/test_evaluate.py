@@ -18,11 +18,11 @@ def test_evaluate_scene_smoke():
         key=jax.random.PRNGKey(0))
     methods = [r["method"] for r in rows]
     assert methods == ["default", "sarsa", "sarsa_guided", "default_eqtime",
-                       "neural_q"]
+                       "sarsa_mega", "default_eqtotal", "neural_q"]
     for r in rows:
         assert np.isfinite(r["mape"]) and r["mape"] >= 0.0
         assert r["gt_spp"] == 16
-        if r["method"] not in ("default_eqtime",):
+        if r["method"] not in ("default_eqtime", "default_eqtotal"):
             assert r["spp"] == 8
     guided = next(r for r in rows if r["method"] == "sarsa_guided")
     assert guided["uv_bins"] == 4 and guided["sector_grid"] == 11
