@@ -226,7 +226,8 @@ def _mega_kernel(*refs,
                  precision=jax.lax.Precision.HIGHEST, unroll: int = 2,
                  compensated: bool = False,
                  russian_roulette: bool = False, rr_start_bounce: int = 3,
-                 rr_min_prob: float = 0.05, cull: bool = False):
+                 rr_min_prob: float = 0.05, cull: bool = False,
+                 cull_group: int = 1):
     if cull:
         (seed_ref, aabb_ref, cam_ref, g_ref, mtbl_ref, out_ref,
          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -417,7 +418,8 @@ def _mega_kernel(*refs,
         ivx, ivy, ivz = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
         bt_ref[:, :] = jnp.full((1, r), INF, jnp.float32)
         mat_ref[:, :] = jnp.zeros((16, r), jnp.float32)
-        for c in range(n_chunks):
+
+        def could_hit(c):
             lox, loy, loz = aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2]
             hix, hiy, hiz = aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5]
             t1x, t2x = (lox - ox) * ivx, (hix - ox) * ivx
@@ -429,19 +431,33 @@ def _mega_kernel(*refs,
             far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                           jnp.maximum(t1y, t2y)),
                               jnp.maximum(t1z, t2z))
-            could = (actv & (far >= jnp.maximum(near, 0.0))
-                     & (near < bt_ref[:, :]))
+            return (actv & (far >= jnp.maximum(near, 0.0))
+                    & (near < bt_ref[:, :]))
+
+        # Each scalar condition costs a vector->scalar reduction + a
+        # Mosaic branch (measured ~several us — the same sync the while
+        # condition's `unroll` amortises), so chunks are culled in GROUPS
+        # of `cull_group`: one branch covers 4 chunks, and the Morton
+        # surface sort keeps neighbouring chunks spatially adjacent so a
+        # group's union test loses little selectivity.
+        for c0 in range(0, n_chunks, cull_group):
+            grp = range(c0, min(c0 + cull_group, n_chunks))
+            could = could_hit(grp[0])
+            for c in list(grp)[1:]:
+                could = could | could_hit(c)
             any_could = jnp.sum(could.astype(jnp.int32)) > 0
 
             @pl.when(any_could)
-            def _sweep(c=c):
-                tt = chunk_tt(c)
-                cmin = jnp.min(tt, axis=0, keepdims=True)
-                onehot = ((tt == cmin) & (cmin < INF)).astype(jnp.float32)
-                mat_c = mat_dot(onehot, c)
-                better = cmin < bt_ref[:, :]
-                mat_ref[:, :] = jnp.where(better, mat_c, mat_ref[:, :])
-                bt_ref[:, :] = jnp.minimum(bt_ref[:, :], cmin)
+            def _sweep(grp=grp):
+                for c in grp:
+                    tt = chunk_tt(c)
+                    cmin = jnp.min(tt, axis=0, keepdims=True)
+                    onehot = ((tt == cmin)
+                              & (cmin < INF)).astype(jnp.float32)
+                    mat_c = mat_dot(onehot, c)
+                    better = cmin < bt_ref[:, :]
+                    mat_ref[:, :] = jnp.where(better, mat_c, mat_ref[:, :])
+                    bt_ref[:, :] = jnp.minimum(bt_ref[:, :], cmin)
 
         return bt_ref[:, :], mat_ref[:, :]
 
@@ -627,12 +643,13 @@ def _mega_kernel(*refs,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "r_tile", "pix_mux", "interpret",
-                                    "precision", "unroll", "cull"))
+                                    "precision", "unroll", "cull",
+                                    "cull_group"))
 def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
                         r_tile: int = R_TILE, pix_mux: int = 8,
                         interpret: bool = False,
                         precision: str = "high3", unroll: int = 2,
-                        cull: bool | None = None):
+                        cull: bool | None = None, cull_group: int = 1):
     """Render a frame with the megakernel; returns (image (H,W,3), aux).
 
     Same estimator as integrators.default_tracer.render_default
@@ -694,7 +711,7 @@ def render_default_mega(key, scene: Scene, camera: Camera, cfg: RenderConfig,
         compensated=compensated,
         russian_roulette=cfg.russian_roulette,
         rr_start_bounce=cfg.rr_start_bounce, rr_min_prob=cfg.rr_min_prob,
-        cull=cull)
+        cull=cull, cull_group=cull_group)
 
     n_pf = 2 if cull else 1          # (seed[, aabb]) scalar-prefetch args
     scratch = ([pltpu.VMEM((1, r_tile), jnp.float32) for _ in range(10)]

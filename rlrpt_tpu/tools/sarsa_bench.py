@@ -175,6 +175,55 @@ def main(argv=None):
         out["overhead_vs_default_wavefront"] = round(dt / wf_dt - 1.0, 3)
     print(json.dumps(out), flush=True)
 
+    # ---- in-kernel binned-SARSA learning megakernel ----------------------
+    # The fully fused learning frame (ops.guided_mega_train): the whole TD
+    # loop runs on the MXU against the (triangle x uv-bin) Q-state; the
+    # per-frame CDF rebuild (reference schedule) is timed inside the frame.
+    from rlrpt_tpu.ops.guided_mega import render_guided_mega
+    from rlrpt_tpu.ops.guided_mega_train import (init_bin_q, rebuild_bin_cdf,
+                                                 render_sarsa_mega_train)
+    from rlrpt_tpu.ops.megakernel import mt_tables
+
+    gr, ub = 11, 4
+    rl_k = RadianceVolumeConfig(grid_resolution=gr)
+    t_pad = mt_tables(scene.to_device())[0].shape[0] // 4
+    q0, v0 = init_bin_q(t_pad, ub, gr, rl_k.initial_radiance)
+    tb0 = rebuild_bin_cdf(q0, gr, ub, t_pad)
+    sc_dev = scene.to_device()
+
+    def run_train(k):
+        img, q1, v1, aux = render_sarsa_mega_train(
+            k, sc_dev, cam, tb0, q0, v0, cfg, rl_k.radiance_threshold,
+            r_tile=1024, pix_mux=32)
+        tb1 = rebuild_bin_cdf(q1, gr, ub, t_pad)
+        last_aux["train_iters"] = aux["wavefront_iterations"]
+        return jnp.sum(img) + jnp.sum(tb1.cdf.astype(jnp.float32)) * 0.0, \
+            aux["avg_path_length"]
+
+    tdt, tplen = measure(run_train, key, args.frames)
+    print(json.dumps({
+        "which": "sarsa_mega_train", "sec_per_frame": round(tdt, 4),
+        "rays_per_sec": round(tplen * total / tdt, 1),
+        "iters": int(last_aux["train_iters"]),
+        "uv_bins": ub, "sector_grid": gr,
+        "state_space": f"{t_pad * ub * ub} bins x {gr * gr} sectors",
+        "overhead_vs_default_mega":
+            round(tdt / mega_dt - 1.0, 3) if not args.skip_mega else None,
+        "speedup_vs_xla_sarsa_wavefront": round(dt / tdt, 2)}), flush=True)
+
+    def run_infer(k):
+        img, aux = render_guided_mega(k, sc_dev, cam, tb0, cfg,
+                                      r_tile=1024, pix_mux=32)
+        return jnp.sum(img), aux["avg_path_length"]
+
+    idt, iplen = measure(run_infer, key, args.frames)
+    print(json.dumps({
+        "which": "sarsa_guided_infer", "sec_per_frame": round(idt, 4),
+        "rays_per_sec": round(iplen * total / idt, 1),
+        "overhead_vs_default_mega":
+            round(idt / mega_dt - 1.0, 3) if not args.skip_mega else None}),
+        flush=True)
+
 
 if __name__ == "__main__":
     main()

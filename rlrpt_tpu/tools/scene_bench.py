@@ -39,6 +39,11 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--r-tile", type=int, default=1024)
     ap.add_argument("--pix-mux", type=int, default=32)
+    ap.add_argument("--morton", action="store_true", default=True,
+                    help="Morton-sort surfaces so chunks are spatially "
+                         "tight (scene.morton_sort_surfaces); estimator "
+                         "unchanged")
+    ap.add_argument("--no-morton", dest="morton", action="store_false")
     ap.add_argument("--cull", choices=("on", "off", "both"), default="both",
                     help="AABB chunk pre-reject (multi-chunk scenes only; "
                          "'both' records an on/off row pair per scene)")
@@ -58,6 +63,9 @@ def main(argv=None):
         else:
             p = presets.get(name)
             scene, cam = p.load(), Camera.create(p.camera_position)
+        if args.morton:
+            from rlrpt_tpu.scene.scene import morton_sort_surfaces
+            scene = morton_sort_surfaces(scene)
         n_tris = int(scene.v0.shape[0])
         from rlrpt_tpu.ops.megakernel import T_CHUNK, _t_pad
         multi = _t_pad(n_tris) > T_CHUNK
@@ -94,7 +102,7 @@ def main(argv=None):
             # measures useful-work density, and rays/s is the headline.
             tests_s = rays * n_tris / dt
             row = {"scene": name, "triangles": n_tris,
-                   "cull": bool(cull) and multi,
+                   "cull": bool(cull) and multi, "morton": args.morton,
                    "sec_per_frame": round(dt, 4),
                    "avg_path_length": round(plen, 3),
                    "rays_per_sec": round(rays / dt, 1),
