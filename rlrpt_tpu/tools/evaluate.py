@@ -67,7 +67,8 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                    sarsa_search="table", nq_train_batching="minibatch",
                    sarsa_defensive_mix=0.0, sarsa_hit_mode="mxu",
                    nq_eps_start=0.05, guided=True, guided_uv_bins=4,
-                   guided_sector_grid=11, budget_sec=0.0):
+                   guided_sector_grid=11, budget_sec=0.0,
+                   gt_cache: str | None = None):
     """Returns a list of result-row dicts for one scene.
 
     `russian_roulette=True` enables RR on every NON-GT render (method and
@@ -117,7 +118,13 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
             host_fence(acc)
         return acc / gt_spp
 
-    gt, gt_dt = clock(render_gt)
+    if gt_cache and os.path.exists(gt_cache):
+        gt = jnp.asarray(np.load(gt_cache)["gt"])
+        gt_dt = 0.0
+    else:
+        gt, gt_dt = clock(render_gt)
+        if gt_cache:
+            np.savez_compressed(gt_cache, gt=np.asarray(gt))
     if out_prefix:
         write_png(f"{out_prefix}_gt.png", np.asarray(gt))
 
@@ -489,6 +496,10 @@ def main(argv=None):
     ap.add_argument("--sarsa-defensive-mix", type=float, default=0.0,
                     help="blend mix*uniform into the sector CDF "
                          "(defensive importance sampling; 0 = reference)")
+    ap.add_argument("--gt-cache-dir", default=None,
+                    help="cache the ground truth per (scene,size,spp,"
+                         "bounces) as .npz here — refresh runs skip the "
+                         "most expensive render")
     ap.add_argument("--budget-sec", type=float, default=60.0,
                     help="fixed wall-clock budget for the train+render "
                          "vs default shootout rows (0 = skip)")
@@ -540,7 +551,12 @@ def main(argv=None):
         nq_eps_start=args.nq_eps_start, guided=not args.skip_guided,
         guided_uv_bins=args.guided_uv_bins,
         guided_sector_grid=args.guided_sector_grid,
-        budget_sec=args.budget_sec)
+        budget_sec=args.budget_sec,
+        gt_cache=(os.path.join(
+            args.gt_cache_dir,
+            f"gt_{args.scene}_{args.size}_{args.gt_spp}_{args.bounces}"
+            f"{'_rr' if args.russian_roulette else ''}.npz")
+            if args.gt_cache_dir else None))
     for r in rows:
         r["scene"] = args.scene
     result = {"protocol": "thesis MAPE (4_critical_evaluation.tex:47-69)",
