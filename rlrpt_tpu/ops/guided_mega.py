@@ -54,7 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 from rlrpt_tpu.camera import Camera
 from rlrpt_tpu.config import RenderConfig
 from rlrpt_tpu.ops.megakernel import (INF, PI, R_TILE, T_CHUNK, _PRECISIONS,
-                                      _split_bf16, _uniform, mt_tables)
+                                      _split_bf16, _uniform,
+                                      make_primary_fn, mt_tables)
 from rlrpt_tpu.radiance.bake import TriBinCDF
 from rlrpt_tpu.scene.scene import Scene
 
@@ -153,26 +154,11 @@ def _guided_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, cdf_ref,
     cy, sy = cam_ref[0, 3], cam_ref[0, 4]
     cx, sx = cam_ref[0, 5], cam_ref[0, 6]
 
-    half_w = jnp.float32(width / 2.0)
-    half_h = jnp.float32(height / 2.0)
     zero = jnp.zeros((1, r), jnp.float32)
     one = jnp.ones((1, r), jnp.float32)
     pdf_scale = jnp.float32(n_sectors / (2.0 * PI))
     inv_gdir = jnp.float32(1.0 / sector_grid)
-
-    def primary(pix, u1, u2):
-        fpy = (pix // width).astype(jnp.float32)
-        fpx = (pix - (pix // width) * width).astype(jnp.float32)
-        dxx = fpx + u1 - half_w
-        dyy = fpy + u2 - half_h
-        dzz = jnp.full((1, r), jnp.float32(focal))
-        inv = jax.lax.rsqrt(dxx * dxx + dyy * dyy + dzz * dzz)
-        dxx, dyy, dzz = dxx * inv, dyy * inv, dzz * inv
-        x1 = cy * dxx - sy * dzz
-        z1 = sy * dxx + cy * dzz
-        y2 = cx * dyy + sx * z1
-        z2 = -sx * dyy + cx * z1
-        return x1, y2, z2
+    primary = make_primary_fn(cam_ref, r, width, height, focal)
 
     def intersect(ox, oy, oz, dx, dy, dz):
         """Single-chunk MXU sweep; returns (best_t, mat (16, r), u, v) with

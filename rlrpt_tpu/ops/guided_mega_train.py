@@ -50,7 +50,8 @@ from rlrpt_tpu.config import RenderConfig
 from rlrpt_tpu.ops import hemisphere as hs
 from rlrpt_tpu.ops.guided_mega import _concentric_dir
 from rlrpt_tpu.ops.megakernel import (INF, PI, T_CHUNK, _PRECISIONS,
-                                      _split_bf16, _uniform, mt_tables)
+                                      _split_bf16, _uniform,
+                                      make_primary_fn, mt_tables)
 from rlrpt_tpu.radiance.bake import TriBinCDF
 from rlrpt_tpu.scene.scene import Scene
 
@@ -126,12 +127,11 @@ def _train_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, cdf_ref, lum_ref,
     cpx, cpy, cpz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
     cy, sy = cam_ref[0, 3], cam_ref[0, 4]
     cx, sx = cam_ref[0, 5], cam_ref[0, 6]
-    half_w = jnp.float32(width / 2.0)
-    half_h = jnp.float32(height / 2.0)
     zero = jnp.zeros((1, r), jnp.float32)
     one = jnp.ones((1, r), jnp.float32)
     pdf_scale = jnp.float32(n_sectors / (2.0 * PI))
     inv_gdir = jnp.float32(1.0 / sector_grid)
+    primary = make_primary_fn(cam_ref, r, width, height, focal)
     # Per-sector cos(theta) column for the irradiance estimate
     # (hemisphere.sector_cos_thetas, passed as a (s_pad, 128) input —
     # Pallas forbids captured array constants; column 0 carries the table).
@@ -144,20 +144,6 @@ def _train_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, cdf_ref, lum_ref,
     def _seed_state():
         q_ref[:, :] = q0_ref[:, :]
         vis_ref[:, :] = v0_ref[:, :]
-
-    def primary(pix, u1, u2):
-        fpy = (pix // width).astype(jnp.float32)
-        fpx = (pix - (pix // width) * width).astype(jnp.float32)
-        dxx = fpx + u1 - half_w
-        dyy = fpy + u2 - half_h
-        dzz = jnp.full((1, r), jnp.float32(focal))
-        inv = jax.lax.rsqrt(dxx * dxx + dyy * dyy + dzz * dzz)
-        dxx, dyy, dzz = dxx * inv, dyy * inv, dzz * inv
-        x1 = cy * dxx - sy * dzz
-        z1 = sy * dxx + cy * dzz
-        y2 = cx * dyy + sx * z1
-        z2 = -sx * dyy + cx * z1
-        return x1, y2, z2
 
     def intersect(ox, oy, oz, dx, dy, dz):
         f = jnp.concatenate([

@@ -218,6 +218,32 @@ def _uniform(seed, pix, it, stream: int):
         * jnp.float32(1.0 / 16777216.0)
 
 
+def make_primary_fn(cam_ref, r: int, width: int, height: int, focal: float):
+    """Shared jittered camera-ray generator over (1, r) lanes for the
+    megakernel family (ref: ray.cu:145-172).  cam_ref layout: position(3),
+    cos/sin yaw_y, cos/sin yaw_x (see render_default_mega's `cam`)."""
+    cy, sy = cam_ref[0, 3], cam_ref[0, 4]
+    cx, sx = cam_ref[0, 5], cam_ref[0, 6]
+    half_w = jnp.float32(width / 2.0)
+    half_h = jnp.float32(height / 2.0)
+
+    def primary(pix, u1, u2):
+        fpy = (pix // width).astype(jnp.float32)
+        fpx = (pix - (pix // width) * width).astype(jnp.float32)
+        dx = fpx + u1 - half_w
+        dy = fpy + u2 - half_h
+        dz = jnp.full((1, r), jnp.float32(focal))
+        inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        dx, dy, dz = dx * inv, dy * inv, dz * inv
+        x1 = cy * dx - sy * dz
+        z1 = sy * dx + cy * dz
+        y2 = cx * dy + sx * z1
+        z2 = -sx * dy + cx * z1
+        return x1, y2, z2
+
+    return primary
+
+
 def _mega_kernel(*refs,
                  t_pad: int, n_chunks: int, t_chunk: int, r_tile: int,
                  width: int, height: int, focal: float, n_pix: int,
@@ -255,25 +281,9 @@ def _mega_kernel(*refs,
     cy, sy = cam_ref[0, 3], cam_ref[0, 4]
     cx, sx = cam_ref[0, 5], cam_ref[0, 6]
 
-    half_w = jnp.float32(width / 2.0)
-    half_h = jnp.float32(height / 2.0)
     zero = jnp.zeros((1, r), jnp.float32)
     one = jnp.ones((1, r), jnp.float32)
-
-    def primary(pix, u1, u2):
-        """Jittered primary direction for pixel ids (ref: ray.cu:145-172)."""
-        fpy = (pix // width).astype(jnp.float32)
-        fpx = (pix - (pix // width) * width).astype(jnp.float32)
-        dx = fpx + u1 - half_w
-        dy = fpy + u2 - half_h
-        dz = jnp.full((1, r), jnp.float32(focal))
-        inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-        dx, dy, dz = dx * inv, dy * inv, dz * inv
-        x1 = cy * dx - sy * dz
-        z1 = sy * dx + cy * dz
-        y2 = cx * dy + sx * z1
-        z2 = -sx * dy + cx * z1
-        return x1, y2, z2
+    primary = make_primary_fn(cam_ref, r, width, height, focal)
 
     def sample_hemi(u1, u2, nx, ny, nz):
         """Uniform hemisphere about the normal; returns dir + cos(theta)

@@ -107,15 +107,13 @@ def test_guided_trained_table_unbiased(setup):
     as a mean shift far beyond MC noise."""
     scene, cam, rl, vols, t_pad = setup
     # Skew the per-volume q so the baked pmf is strongly non-uniform.
+    import dataclasses
+
     rng = np.random.default_rng(5)
     q = np.asarray(vols.q)
     skew = np.exp(3.0 * rng.random(q.shape).astype(np.float32))
     vols_skew = rebuild_cdf(
-        jax.tree_util.tree_map(lambda x: x, vols).__class__(
-            position=vols.position, normal=vols.normal, frame=vols.frame,
-            surface_lum=vols.surface_lum, q=jnp.asarray(q * skew),
-            visits=vols.visits, cdf=vols.cdf,
-            grid_resolution=vols.grid_resolution))
+        dataclasses.replace(vols, q=jnp.asarray(q * skew)))
     tb = bake_tri_bin_cdf(scene, vols_skew, rl, t_pad, uv_bins=2,
                           sector_grid=11)
     cfg = RenderConfig(width=48, height=48, samples_per_pixel=16,
