@@ -104,8 +104,7 @@ def _train_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, cdf_ref, lum_ref,
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                   tr_ref, tg_ref, tb_ref, ps_ref,
                   bn_ref, rm_ref, ac_ref, px_ref, km_ref, sa_ref,
-                  cb_ref, cs_ref, cw_ref, tc_ref,
-                  q_ref, vis_ref, *,
+                  cb_ref, cs_ref, cw_ref, tc_ref, *,
                   t_pad: int, t_chunk: int, r_tile: int,
                   width: int, height: int, focal: float, n_pix: int,
                   spp: int, max_bounces: int, env: float, eps: float,
@@ -120,7 +119,7 @@ def _train_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, cdf_ref, lum_ref,
     seed = seed_ref[0]
     r = r_tile
     k_mux = pix_mux
-    s_pad = q_ref.shape[0]
+    s_pad = q0_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
     slot = tile * r + lane
 
@@ -138,8 +137,14 @@ def _train_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, cdf_ref, lum_ref,
     cos_col = cos_ref[:, 0:1]
     irr_scale = jnp.float32(2.0 * PI / n_sectors) / jnp.float32(PI)
 
-    # The Q / visit state persists ACROSS grid steps (tiles run
-    # sequentially); tile 0 seeds it from the inputs.
+    # The Q / visit state lives in the OUTPUT refs, which map to the same
+    # (whole-array) block for every grid step and therefore persist across
+    # the sequential tiles — no separate scratch copy (VMEM: a scene like
+    # complex_light_room has C = 2688 columns and the extra (S_pad, C)
+    # pair overflowed the 16 MB scoped budget).  Tile 0 seeds from the
+    # inputs.
+    q_ref, vis_ref = q_out_ref, v_out_ref
+
     @pl.when(tile == 0)
     def _seed_state():
         q_ref[:, :] = q0_ref[:, :]
@@ -442,10 +447,6 @@ def _train_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, cdf_ref, lum_ref,
     pad_rows = out_ref.shape[0] - (3 * k_mux + 3)
     if pad_rows > 0:
         out_ref[3 * k_mux + 3:, :] = jnp.zeros((pad_rows, r), jnp.float32)
-    # Every tile overwrites the (whole-frame) Q outputs; the LAST tile's
-    # write is the final state (sequential grid).
-    q_out_ref[:, :] = q_ref[:, :]
-    v_out_ref[:, :] = vis_ref[:, :]
 
 
 @functools.partial(jax.jit,
@@ -480,6 +481,16 @@ def render_sarsa_mega_train(key, scene: Scene, camera: Camera,
                          f"scenes (<= {T_CHUNK} padded triangles)")
     if table.t_pad != t_pad:
         raise ValueError(f"table t_pad {table.t_pad} != scene t_pad {t_pad}")
+    # Keep the kernel inside the 16 MB scoped-VMEM budget: the transient
+    # (C, r) one-hots + the (3*S_pad, C) accumulator scale with C, so
+    # larger scenes trade ray-tile width for table width.
+    n_cols_est = t_pad * table.uv_bins * table.uv_bins
+    if n_cols_est > 1024:
+        r_tile = min(r_tile, 512)
+    if n_cols_est > 5376:
+        raise ValueError(
+            f"{n_cols_est} bins exceed the training kernel's VMEM budget; "
+            "reduce uv_bins or use the XLA SARSA wavefront")
     mtbl = mtbl.at[11, :].set(jnp.arange(t_pad, dtype=jnp.float32))
 
     compensated = precision == "high3"
@@ -541,9 +552,7 @@ def render_sarsa_mega_train(key, scene: Scene, camera: Camera,
             + [pltpu.VMEM((1, r_tile), jnp.int32),      # cur bin
                pltpu.VMEM((1, r_tile), jnp.int32),      # cur sector
                pltpu.VMEM((1, r_tile), jnp.float32),    # cur brdf
-               pltpu.VMEM((1, r_tile), jnp.float32),    # td counter
-               pltpu.VMEM((s_pad, n_cols), jnp.float32),  # live q
-               pltpu.VMEM((s_pad, n_cols), jnp.float32)]  # live visits
+               pltpu.VMEM((1, r_tile), jnp.float32)]    # td counter
         ),
     )
     out, q_out, v_out = pl.pallas_call(
