@@ -243,7 +243,7 @@ def evaluate_scene(scene, cam, *, size, gt_spp, spp, bounces, sarsa_frames,
                          "uv_bins": guided_uv_bins,
                          "sector_grid": guided_sector_grid,
                          "render_sec": round(g_dt, 2),
-                         "render_overhead_vs_default":
+                         "render_sec_ratio_vs_default":
                              round(g_dt / max(d_dt, 1e-9), 3)})
             if out_prefix:
                 write_png(f"{out_prefix}_sarsa_guided.png", np.asarray(img_g))
