@@ -47,9 +47,9 @@ from rlrpt_tpu.scene import presets
 from rlrpt_tpu.utils.image import write_bmp, write_png
 from rlrpt_tpu.utils.stats import StatsLogger
 
-MODES = ("default", "wavefront", "mega", "sarsa", "sarsa-fast", "voronoi",
-         "neural-q", "pretrained", "q-probe", "importance", "precomputed",
-         "distill")
+MODES = ("default", "wavefront", "mega", "sarsa", "sarsa-fast",
+         "sarsa-mega", "voronoi", "neural-q", "pretrained", "q-probe",
+         "importance", "precomputed", "distill")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -149,6 +149,41 @@ def main(argv=None) -> int:
             img, aux = render_default(key, scene, camera, cfg)
         print(f"render time {time.time() - t0:.1f}s  "
               f"avg_path_length {float(aux['avg_path_length']):.2f}")
+        _save(img, args.out)
+        return 0
+
+    if args.mode == "sarsa-mega":
+        # Fully in-kernel RL pipeline: train the binned Q-state on the MXU
+        # for --frames frames (ops.guided_mega_train), then render --spp
+        # with the zero-gather guided megakernel (ops.guided_mega).
+        from rlrpt_tpu.ops.guided_mega import render_guided_mega
+        from rlrpt_tpu.ops.guided_mega_train import (
+            init_bin_q, rebuild_bin_cdf, render_sarsa_mega_train)
+        from rlrpt_tpu.ops.megakernel import mt_tables
+
+        rl_k = rl if rl.grid_resolution != 12 else             __import__("dataclasses").replace(rl, grid_resolution=11)
+        gr, ub = rl_k.grid_resolution, 4
+        t_pad = mt_tables(scene.to_device())[0].shape[0] // 4
+        q, vis = init_bin_q(t_pad, ub, gr, rl_k.initial_radiance)
+        tb = rebuild_bin_cdf(q, gr, ub, t_pad,
+                             defensive_mix=rl_k.defensive_mix)
+        sc = scene.to_device()
+        stats = StatsLogger(args.stats) if args.stats else None
+        for fr in range(args.frames):
+            img, q, vis, aux = render_sarsa_mega_train(
+                jax.random.fold_in(key, fr), sc, camera, tb, q, vis, cfg,
+                rl_k.radiance_threshold, interpret=interp)
+            tb = rebuild_bin_cdf(q, gr, ub, t_pad,
+                                 defensive_mix=rl_k.defensive_mix)
+            print(f"frame {fr}: avg_path "
+                  f"{float(aux['avg_path_length']):.2f}  td_scatters "
+                  f"{int(aux['td_scatter_count'])}")
+            if stats:
+                stats.append(float(aux["avg_path_length"]), 0.0, 0)
+        img, aux = render_guided_mega(jax.random.fold_in(key, 10_000), sc,
+                                      camera, tb, cfg, interpret=interp)
+        print(f"total time {time.time() - t0:.1f}s  inference avg_path "
+              f"{float(aux['avg_path_length']):.2f}")
         _save(img, args.out)
         return 0
 
