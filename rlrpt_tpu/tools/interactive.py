@@ -70,6 +70,41 @@ def _build_renderer(mode, scene, cfg, rl, interpret):
             return img, aux
         return render
 
+    if mode == "sarsa-mega":
+        # The fully in-kernel RL loop (ops.guided_mega_train): learns
+        # WHILE rendering each presented frame at megakernel speed — the
+        # reference's interactive mode-1 story (main.cu:301-362) at
+        # ~23 learning-fps on a v5e (SARSA_BENCH sarsa_mega_train).  The
+        # binned Q-table is camera-independent, so moving the camera
+        # keeps everything learned so far.
+        import dataclasses
+
+        from rlrpt_tpu.ops.guided_mega_train import (init_bin_q,
+                                                     rebuild_bin_cdf,
+                                                     render_sarsa_mega_train)
+        from rlrpt_tpu.ops.megakernel import mt_tables
+
+        rl_k = rl if rl.grid_resolution != 12 else dataclasses.replace(
+            rl, grid_resolution=11)
+        gr, ub = rl_k.grid_resolution, 4
+        sc = scene.to_device()
+        t_pad = mt_tables(sc)[0].shape[0] // 4
+        q, vis = init_bin_q(t_pad, ub, gr, rl_k.initial_radiance)
+        state = {"q": q, "vis": vis,
+                 "tb": rebuild_bin_cdf(q, gr, ub, t_pad,
+                                       defensive_mix=rl_k.defensive_mix)}
+
+        def render(key, camera):
+            img, q, vis, aux = render_sarsa_mega_train(
+                key, sc, camera, state["tb"], state["q"], state["vis"],
+                cfg, rl_k.radiance_threshold, r_tile=1024, pix_mux=4,
+                interpret=interpret)
+            state["q"], state["vis"] = q, vis
+            state["tb"] = rebuild_bin_cdf(q, gr, ub, t_pad,
+                                          defensive_mix=rl_k.defensive_mix)
+            return img, aux
+        return render
+
     raise SystemExit(f"unknown --mode {mode}")
 
 
@@ -96,7 +131,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="cornell")
     ap.add_argument("--mode", default="default",
-                    choices=("default", "sarsa"))
+                    choices=("default", "sarsa", "sarsa-mega"))
     ap.add_argument("--size", type=int, default=360)
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--bounces", type=int, default=20)
