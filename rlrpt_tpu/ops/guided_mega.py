@@ -35,10 +35,19 @@ Everything else — regenerative slots, pixel multiplexing, in-kernel
 counter PRNG, compensated-bf16 intersection, Russian roulette — is the
 default megakernel's machinery (ops/megakernel.py).
 
-Scope: single triangle-chunk scenes (n_triangles <= 256 after padding).
-The one-hot CDF fetch costs 2*C*S flops per ray-bounce with
-C = t_pad * uv_bins^2; multi-chunk scenes would scale C with scene size,
-so they keep the XLA wavefront (which also carries the learning path).
+Scope: single-chunk scenes (n_triangles <= 256 after padding) run the
+full (triangle x uv-bin) table.  Multi-chunk scenes are supported with
+PER-TRIANGLE tables (uv_bins = 1 — their triangles are already small, so
+per-triangle IS fine spatial resolution; no barycentric extraction is
+needed because the winner's id rides material row 11 through the
+streaming running-argmin).  The one-hot CDF fetch costs 2*C*S flops per
+ray-bounce with C = t_pad * uv_bins^2, so wide tables trade ray-tile
+width for VMEM (auto-narrowed; hard cap 8192 columns).  Measured economics
+(artifacts/guided_multichunk_probe.log): on primary-miss-dominated scenes
+like bunny (avg path 1.004) guidance cannot help — ~all samples never hit
+a surface to be guided FROM — and the fetch adds ~85% over the culled
+default sweep; the support exists for scene-coverage completeness, and
+the XLA wavefront remains the learning path for these scenes.
 """
 
 from __future__ import annotations
@@ -125,11 +134,8 @@ def _concentric_dir(gx, gy, nx, ny, nz, zero, one):
     return dx, dy, dz, ly
 
 
-def _guided_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, cdf_ref,
-                   out_ref,
-                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                   tr_ref, tg_ref, tb_ref, ps_ref,
-                   bn_ref, rm_ref, ac_ref, px_ref, km_ref, sa_ref, *,
+def _guided_kernel(*refs,
+                   n_chunks: int,
                    t_pad: int, t_chunk: int, r_tile: int,
                    width: int, height: int, focal: float, n_pix: int,
                    spp: int, max_bounces: int, env: float, eps: float,
@@ -140,6 +146,18 @@ def _guided_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, cdf_ref,
                    compensated: bool = False,
                    russian_roulette: bool = False, rr_start_bounce: int = 3,
                    rr_min_prob: float = 0.05, ablate: str = "none"):
+    if n_chunks > 1:
+        (seed_ref, cam_ref, g_ref, mtbl_ref, cdf_ref, out_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         tr_ref, tg_ref, tb_ref, ps_ref,
+         bn_ref, rm_ref, ac_ref, px_ref, km_ref, sa_ref,
+         bt_ref, mat_ref) = refs
+    else:
+        (seed_ref, cam_ref, g_ref, mtbl_ref, cdf_ref, out_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         tr_ref, tg_ref, tb_ref, ps_ref,
+         bn_ref, rm_ref, ac_ref, px_ref, km_ref, sa_ref) = refs
+        bt_ref = mat_ref = None
     tile = pl.program_id(0)
     seed = seed_ref[0]
 
@@ -160,9 +178,7 @@ def _guided_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, cdf_ref,
     inv_gdir = jnp.float32(1.0 / sector_grid)
     primary = make_primary_fn(cam_ref, r, width, height, focal)
 
-    def intersect(ox, oy, oz, dx, dy, dz):
-        """Single-chunk MXU sweep; returns (best_t, mat (16, r), u, v) with
-        (u, v) the winning triangle's barycentric hit coordinates."""
+    def _features(ox, oy, oz, dx, dy, dz):
         f = jnp.concatenate([
             ox, oy, oz, dx, dy, dz,
             ox * dx, ox * dy, ox * dz,
@@ -173,47 +189,83 @@ def _guided_kernel(seed_ref, cam_ref, g_ref, mtbl_ref, cdf_ref,
         if compensated:
             f_hi, f_lo = _split_bf16(f)
             f = jnp.concatenate([f_hi, f_lo, f_hi], axis=0)   # (48, r)
-            q = jax.lax.dot_general(
-                g_ref[:, :], f, (((1,), (0,)), ((), ())),
+        return f
+
+    def _chunk_q(f, c):
+        ds = pl.ds(4 * c * t_chunk, 4 * t_chunk)
+        if compensated:
+            return jax.lax.dot_general(
+                g_ref[ds, :], f, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        else:
-            q = jax.lax.dot_general(
-                g_ref[:, :], f, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision)
-        det = q[0 * t_chunk:1 * t_chunk]
-        up = q[1 * t_chunk:2 * t_chunk]
-        vp = q[2 * t_chunk:3 * t_chunk]
-        tq = q[3 * t_chunk:4 * t_chunk]
-        a = up * det
-        b = vp * det
-        valid = ((a >= 0.0) & (b >= 0.0) & (a + b <= det * det)
-                 & (tq * det > 0.0))
-        tt = jnp.where(valid, tq / det, INF)              # (t_chunk, r)
-        best_t = jnp.min(tt, axis=0, keepdims=True)
-        onehot = ((tt == best_t) & (best_t < INF)).astype(jnp.float32)
+        return jax.lax.dot_general(
+            g_ref[ds, :], f, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
 
-        # Winner's u'/v'/det via the same one-hot (sublane reductions);
-        # u = u'/det, v = v'/det recover the barycentric coordinates the
-        # bake's column index is keyed on.
-        uw = jnp.sum(onehot * up, axis=0, keepdims=True)
-        vw = jnp.sum(onehot * vp, axis=0, keepdims=True)
-        dw = jnp.sum(onehot * det, axis=0, keepdims=True)
-        dsafe = jnp.where(dw == 0.0, one, dw)
-        u_bar = uw / dsafe
-        v_bar = vw / dsafe
-
+    def _mat_dot(onehot, c):
+        ds = pl.ds(c * t_chunk, t_chunk)
         if compensated:
             oh = onehot.astype(jnp.bfloat16)
             m2 = jax.lax.dot_general(
-                mtbl_ref[:, :], oh, (((1,), (0,)), ((), ())),
+                mtbl_ref[:, ds], oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)       # (32, r)
-            mat = m2[:16] + m2[16:]
-        else:
-            mat = jax.lax.dot_general(
-                mtbl_ref[:, :], onehot,
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=precision)
-        return best_t, mat, u_bar, v_bar
+            return m2[:16] + m2[16:]
+        return jax.lax.dot_general(
+            mtbl_ref[:, ds], onehot,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision)
+
+    def intersect(ox, oy, oz, dx, dy, dz):
+        """MXU sweep; returns (best_t, mat (16, r), u, v) — (u, v) are the
+        winning triangle's barycentric hit coordinates (single-chunk
+        scenes only; multi-chunk scenes run per-TRIANGLE tables,
+        uv_bins == 1, and never read them)."""
+        f = _features(ox, oy, oz, dx, dy, dz)
+        if n_chunks == 1:
+            q = _chunk_q(f, 0)
+            det = q[0 * t_chunk:1 * t_chunk]
+            up = q[1 * t_chunk:2 * t_chunk]
+            vp = q[2 * t_chunk:3 * t_chunk]
+            tq = q[3 * t_chunk:4 * t_chunk]
+            a = up * det
+            b = vp * det
+            valid = ((a >= 0.0) & (b >= 0.0) & (a + b <= det * det)
+                     & (tq * det > 0.0))
+            tt = jnp.where(valid, tq / det, INF)          # (t_chunk, r)
+            best_t = jnp.min(tt, axis=0, keepdims=True)
+            onehot = ((tt == best_t) & (best_t < INF)).astype(jnp.float32)
+
+            # Winner's u'/v'/det via the same one-hot (sublane
+            # reductions); u = u'/det, v = v'/det recover the barycentric
+            # coordinates the bake's column index is keyed on.
+            uw = jnp.sum(onehot * up, axis=0, keepdims=True)
+            vw = jnp.sum(onehot * vp, axis=0, keepdims=True)
+            dw = jnp.sum(onehot * det, axis=0, keepdims=True)
+            dsafe = jnp.where(dw == 0.0, one, dw)
+            return best_t, _mat_dot(onehot, 0), uw / dsafe, vw / dsafe
+
+        # Multi-chunk: the megakernel's streaming running-argmin (see
+        # ops/megakernel.py); the triangle id rides material row 11, so
+        # the per-TRIANGLE table needs no barycentric extraction.
+        bt_ref[:, :] = jnp.full((1, r), INF, jnp.float32)
+        mat_ref[:, :] = jnp.zeros((16, r), jnp.float32)
+        for c in range(n_chunks):
+            q = _chunk_q(f, c)
+            det = q[0 * t_chunk:1 * t_chunk]
+            up = q[1 * t_chunk:2 * t_chunk]
+            vp = q[2 * t_chunk:3 * t_chunk]
+            tq = q[3 * t_chunk:4 * t_chunk]
+            a = up * det
+            b = vp * det
+            valid = ((a >= 0.0) & (b >= 0.0) & (a + b <= det * det)
+                     & (tq * det > 0.0))
+            tt = jnp.where(valid, tq / det, INF)
+            cmin = jnp.min(tt, axis=0, keepdims=True)
+            onehot = ((tt == cmin) & (cmin < INF)).astype(jnp.float32)
+            mat_c = _mat_dot(onehot, c)
+            better = cmin < bt_ref[:, :]
+            mat_ref[:, :] = jnp.where(better, mat_c, mat_ref[:, :])
+            bt_ref[:, :] = jnp.minimum(bt_ref[:, :], cmin)
+        return bt_ref[:, :], mat_ref[:, :], zero, zero
 
     # ---- initial state (identical to ops.megakernel) ---------------------
     it0 = jnp.int32(0)
@@ -450,11 +502,12 @@ def render_guided_mega(key, scene: Scene, camera: Camera, table: TriBinCDF,
     n_pix = cfg.n_pixels
     g, mtbl = mt_tables(scene)
     t_pad = g.shape[0] // 4
-    if t_pad > T_CHUNK:
+    t_chunk = min(t_pad, T_CHUNK)
+    n_chunks = t_pad // t_chunk
+    if n_chunks > 1 and table.uv_bins != 1:
         raise ValueError(
-            f"guided megakernel supports single-chunk scenes "
-            f"(<= {T_CHUNK} padded triangles); this scene has {t_pad} — "
-            "use the SARSA wavefront for large scenes")
+            f"multi-chunk scenes ({t_pad} padded triangles) run guided "
+            "inference with PER-TRIANGLE tables — bake with uv_bins=1")
     if table.t_pad != t_pad:
         raise ValueError(
             f"table baked for t_pad={table.t_pad} but scene packs to "
@@ -473,6 +526,14 @@ def render_guided_mega(key, scene: Scene, camera: Camera, table: TriBinCDF,
 
     cdf = table.cdf.astype(jnp.bfloat16)                      # (S_pad, C)
     s_pad, n_cols = cdf.shape
+    # VMEM budget: the (C, r) one-hot + fetch scale with C (see
+    # guided_mega_train) — wide tables trade ray-tile width.
+    if n_cols > 1024:
+        r_tile = min(r_tile, 512)
+    if n_cols > 8192:
+        raise ValueError(
+            f"{n_cols} table columns exceed the guided kernel's VMEM "
+            "budget; use the SARSA wavefront for this scene")
 
     n_slots = int(math.ceil(n_pix / pix_mux / r_tile) * r_tile)
     n_tiles = n_slots // r_tile
@@ -488,7 +549,7 @@ def render_guided_mega(key, scene: Scene, camera: Camera, table: TriBinCDF,
     ]).reshape(1, 8).astype(jnp.float32)
 
     kernel = functools.partial(
-        _guided_kernel, t_pad=t_pad, t_chunk=t_pad,
+        _guided_kernel, n_chunks=n_chunks, t_pad=t_pad, t_chunk=t_chunk,
         r_tile=r_tile, width=cfg.width, height=cfg.height, focal=cfg.focal,
         n_pix=n_pix, spp=cfg.samples_per_pixel,
         max_bounces=cfg.max_ray_bounces, env=cfg.environment_light,
@@ -519,7 +580,10 @@ def render_guided_mega(key, scene: Scene, camera: Camera, table: TriBinCDF,
         scratch_shapes=(
             [pltpu.VMEM((1, r_tile), jnp.float32) for _ in range(10)]
             + [pltpu.VMEM((1, r_tile), jnp.int32) for _ in range(5)]
-            + [pltpu.VMEM((3 * pix_mux, r_tile), jnp.float32)]),
+            + [pltpu.VMEM((3 * pix_mux, r_tile), jnp.float32)]
+            + ([pltpu.VMEM((1, r_tile), jnp.float32),
+                pltpu.VMEM((16, r_tile), jnp.float32)]
+               if n_chunks > 1 else [])),
     )
     out = pl.pallas_call(
         kernel,

@@ -137,3 +137,35 @@ def test_guided_reference_sector_grid(setup):
     img, _ = render_guided_mega(jax.random.PRNGKey(0), scene, cam, tb, cfg,
                                 r_tile=256, pix_mux=2, interpret=True)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_guided_multichunk_per_triangle(monkeypatch, setup):
+    """Multi-chunk scenes run guided inference with PER-TRIANGLE tables
+    (uv_bins=1): force cornell into 3 chunks and check the guided image
+    still matches the default megakernel's mean (unbiasedness through the
+    streaming intersect + row-11 triangle-id fetch)."""
+    import rlrpt_tpu.ops.guided_mega as gm
+    import rlrpt_tpu.ops.megakernel as mk
+
+    scene, cam, rl, vols, _ = setup
+    monkeypatch.setattr(mk, "T_CHUNK", 16)   # 38 tris -> t_pad 48, 3 chunks
+    monkeypatch.setattr(gm, "T_CHUNK", 16)
+    jax.clear_caches()
+    t_pad = mk.mt_tables(scene)[0].shape[0] // 4
+    assert t_pad // min(t_pad, 16) > 1
+    tb = bake_tri_bin_cdf(scene, vols, rl, t_pad, uv_bins=1, sector_grid=11)
+    cfg = RenderConfig(width=48, height=48, samples_per_pixel=8,
+                       max_ray_bounces=6)
+    img_g, _ = render_guided_mega(jax.random.PRNGKey(21), scene, cam, tb,
+                                  cfg, r_tile=512, pix_mux=2, interpret=True)
+    img_d, _ = render_default_mega(jax.random.PRNGKey(22), scene, cam, cfg,
+                                   r_tile=512, pix_mux=2, interpret=True)
+    jax.clear_caches()
+    assert np.isfinite(np.asarray(img_g)).all()
+    _mean_close(img_g, img_d, 0.08)
+
+    # uv_bins > 1 must be rejected for multi-chunk scenes
+    tb4 = bake_tri_bin_cdf(scene, vols, rl, t_pad, uv_bins=4, sector_grid=11)
+    with pytest.raises(ValueError, match="uv_bins=1"):
+        render_guided_mega(jax.random.PRNGKey(0), scene, cam, tb4, cfg,
+                           r_tile=512, pix_mux=2, interpret=True)
