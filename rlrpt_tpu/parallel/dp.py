@@ -377,3 +377,108 @@ def render_frame_neural_q_wavefront_dp(key, scene: Scene, camera: Camera,
         return img, params_out, opt_out, eps_next, aux
 
     return frame(key, params, opt_state)
+
+
+def render_guided_mega_dp(key, scene: Scene, camera: Camera, table,
+                          cfg: RenderConfig, mesh=None, pix_mux: int = 32,
+                          r_tile: int = 1024, interpret: bool = False,
+                          precision: str = "high3"):
+    """Sharded guided-megakernel inference (ops.guided_mega): classic
+    seed-parallel Monte Carlo — every device renders the full frame at
+    spp / n_dev with a decorrelated key and the images pmean at the end
+    (ONE collective; the estimator is exactly the single-chip one at the
+    same total spp).  spp must divide by the mesh size.
+    """
+    import dataclasses
+
+    from rlrpt_tpu.ops.guided_mega import render_guided_mega
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    if cfg.samples_per_pixel % n_dev:
+        raise ValueError(f"spp {cfg.samples_per_pixel} must divide the "
+                         f"mesh size {n_dev}")
+    cfg_local = dataclasses.replace(
+        cfg, samples_per_pixel=cfg.samples_per_pixel // n_dev)
+    scene = scene.to_device()
+
+    @jax.jit
+    def run(key, table):
+        def shard_fn(key, table):
+            key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+            img, aux = render_guided_mega(
+                key, scene, camera, table, cfg_local, r_tile=r_tile,
+                pix_mux=pix_mux, interpret=interpret, precision=precision)
+            img = jax.lax.pmean(img, RAY_AXIS)
+            plen = jax.lax.pmean(aux["avg_path_length"], RAY_AXIS)
+            return img, plen
+
+        traced = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P()),
+                           out_specs=(P(), P()), check_vma=False)
+        return traced(key, table)
+
+    img, plen = run(key, table)
+    return img, {"avg_path_length": plen}
+
+
+def sarsa_mega_train_dp(key, scene: Scene, camera: Camera, table, q, visits,
+                        cfg: RenderConfig, radiance_threshold: float,
+                        mesh=None, pix_mux: int = 32, r_tile: int = 1024,
+                        interpret: bool = False):
+    """Sharded in-kernel binned-SARSA learning frame
+    (ops.guided_mega_train): each device runs the full learning frame at
+    spp / n_dev from the SAME starting (q, visits), then the per-device
+    updates merge by the exact composition algebra of the running mean:
+
+        q_i = (q0*(1+v0) + S_i) / (1+v0+c_i)   per device
+        =>  S_i, c_i recoverable;  merged q = (q0*(1+v0) + sum S_i)
+                                              / (1+v0+ sum c_i)
+
+    Within-device iteration batches bootstrapped from their own evolving
+    local Q, so the merge is a valid deterministic serialisation of the
+    same per-ray contributions rather than a bitwise replay of the
+    single-chip order — precisely the freedom the reference's racy
+    atomics already exercise (thesis 4_critical_evaluation.tex:266).
+    Visit counts stay exact (sum of per-device deltas).
+    """
+    import dataclasses
+
+    from rlrpt_tpu.ops.guided_mega_train import render_sarsa_mega_train
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    if cfg.samples_per_pixel % n_dev:
+        raise ValueError(f"spp {cfg.samples_per_pixel} must divide the "
+                         f"mesh size {n_dev}")
+    cfg_local = dataclasses.replace(
+        cfg, samples_per_pixel=cfg.samples_per_pixel // n_dev)
+    scene = scene.to_device()
+
+    @jax.jit
+    def run(key, table, q0, v0):
+        def shard_fn(key, table, q0, v0):
+            key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+            img, q_i, v_i, aux = render_sarsa_mega_train(
+                key, scene, camera, table, q0, v0, cfg_local,
+                radiance_threshold, r_tile=r_tile, pix_mux=pix_mux,
+                interpret=interpret)
+            # Recover this device's contribution sums and counts, psum,
+            # and apply one identical merged update on every device.
+            c_i = v_i - v0
+            s_i = q_i * (1.0 + v0 + c_i) - q0 * (1.0 + v0)
+            s_all = jax.lax.psum(s_i, RAY_AXIS)
+            c_all = jax.lax.psum(c_i, RAY_AXIS)
+            q_new = (q0 * (1.0 + v0) + s_all) / (1.0 + v0 + c_all)
+            q_new = jnp.maximum(q_new, radiance_threshold)
+            q_new = jnp.where(c_all > 0, q_new, q0)
+            img = jax.lax.pmean(img, RAY_AXIS)
+            td = jax.lax.psum(aux["td_scatter_count"], RAY_AXIS)
+            return img, q_new, v0 + c_all, td
+
+        traced = shard_map(shard_fn, mesh=mesh,
+                           in_specs=(P(), P(), P(), P()),
+                           out_specs=(P(), P(), P(), P()), check_vma=False)
+        return traced(key, table, q0, v0)
+
+    img, q_new, v_new, td = run(key, table, q, visits)
+    return img, q_new, v_new, {"td_scatter_count": td}

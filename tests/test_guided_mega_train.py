@@ -105,3 +105,50 @@ def test_rebuild_bin_cdf_monotone(setup):
     assert (np.diff(cdf[:s], axis=0) >= -1e-6).all()
     np.testing.assert_allclose(cdf[s - 1], 1.0, atol=4e-3)
     assert (cdf[s:] == 2.0).all()
+
+
+def test_sharded_guided_inference_and_merged_training(setup):
+    """Multi-chip stories for the new kernels (4-device virtual mesh):
+    seed-parallel guided inference matches the single-chip estimator in
+    mean; the merged parallel learning frame preserves EXACT visit
+    accounting (psum'd td_scatter_count == merged visit delta) and keeps
+    q finite/thresholded."""
+    import jax.numpy as jnp
+    from rlrpt_tpu.parallel.dp import (render_guided_mega_dp,
+                                       sarsa_mega_train_dp)
+    from rlrpt_tpu.parallel.mesh import make_mesh
+    from rlrpt_tpu.radiance.bake import bake_tri_bin_cdf
+    from rlrpt_tpu.radiance.volumes import (build_radiance_volumes,
+                                            rebuild_cdf)
+
+    scene, cam, rl, t_pad = setup
+    mesh = make_mesh(4)
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=8,
+                       max_ray_bounces=6)
+    rl_fine = RadianceVolumeConfig(area_per_sample=0.01)
+    vols = rebuild_cdf(build_radiance_volumes(scene, rl_fine))
+    tb = bake_tri_bin_cdf(scene, vols, rl_fine, t_pad, uv_bins=2,
+                          sector_grid=_G_DIR)
+    img_dp, aux = render_guided_mega_dp(
+        jax.random.PRNGKey(3), scene, cam, tb, cfg, mesh=mesh,
+        r_tile=256, pix_mux=2, interpret=True)
+    from rlrpt_tpu.ops.megakernel import render_default_mega
+    img_ref, _ = render_default_mega(jax.random.PRNGKey(4), scene, cam, cfg,
+                                     r_tile=256, pix_mux=2, interpret=True)
+    assert np.isfinite(np.asarray(img_dp)).all()
+    md = float(np.mean(np.asarray(img_ref)))
+    assert abs(float(np.mean(np.asarray(img_dp))) - md) / md < 0.12
+
+    q0, v0 = init_bin_q(t_pad, _UV, _G_DIR, rl.initial_radiance)
+    tb0 = rebuild_bin_cdf(q0, _G_DIR, _UV, t_pad)
+    img, q1, v1, aux = sarsa_mega_train_dp(
+        jax.random.PRNGKey(5), scene, cam, tb0, q0, v0, cfg,
+        rl.radiance_threshold, mesh=mesh, r_tile=256, pix_mux=2,
+        interpret=True)
+    assert np.isfinite(np.asarray(img)).all()
+    assert np.isfinite(np.asarray(q1)).all()
+    assert int(aux["td_scatter_count"]) > 0
+    assert float(np.asarray(v1 - np.asarray(v0)).sum()) == float(
+        int(aux["td_scatter_count"]))
+    s = _G_DIR * _G_DIR
+    assert (np.asarray(q1)[:s] >= rl.radiance_threshold - 1e-6).all()
