@@ -16,6 +16,11 @@ Modes (reference mapping):
   sarsa-fast    `sarsa` on the regenerative wavefront + grid-bucketed NN
                 search (integrators/sarsa_wavefront.py); same learning
                 rule, ~10x faster at default volume density
+  sarsa-mega    the fully in-kernel RL pipeline: --frames learning frames
+                on the binned (triangle x uv) Q-state inside one Pallas
+                megakernel (ops/guided_mega_train.py, ~0.04 s/frame on a
+                v5e), then a zero-gather guided inference render
+                (ops/guided_mega.py)
   voronoi       mode 2  (voronoi_trace.cu)
   neural-q      mode 3  (neural_q_pathtracer.cu, online training)
   pretrained    mode 4  (pre_trained_pathtracer.cu; --model path)
